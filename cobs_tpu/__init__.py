@@ -1,0 +1,57 @@
+"""cobs_tpu: a TPU-native Compact Bit-Sliced Signature Index framework.
+
+A ground-up reimplementation of the capabilities of COBS (Bingmann et al.,
+SPIRE 2019) designed for TPUs: the bit-sliced signature matrix lives in HBM
+as a document-axis-sharded dense array, queries are batched and executed as
+fused gather-AND-popcount computations under XLA/Pallas, and multi-chip
+scaling uses jax.sharding meshes with XLA collectives.
+
+Public API mirrors the reference `cobs_index` Python module
+(reference: python/module.cpp:71-395) so users can switch directly.
+"""
+
+from cobs_tpu.settings import disable_cache, settings
+from cobs_tpu.ingest.document_list import (
+    DocumentEntry,
+    DocumentList,
+    FileType,
+)
+from cobs_tpu.construct.params import (
+    ClassicIndexParameters,
+    CompactIndexParameters,
+)
+from cobs_tpu.construct.classic import (
+    classic_construct,
+    classic_construct_list,
+    classic_construct_from_documents,
+    classic_combine,
+    classic_construct_random,
+)
+from cobs_tpu.construct.compact import (
+    compact_construct,
+    compact_construct_list,
+    compact_combine_into_compact,
+)
+from cobs_tpu.query.search import Search, SearchResult
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "DocumentEntry",
+    "DocumentList",
+    "FileType",
+    "ClassicIndexParameters",
+    "CompactIndexParameters",
+    "classic_construct",
+    "classic_construct_list",
+    "classic_construct_from_documents",
+    "classic_combine",
+    "classic_construct_random",
+    "compact_construct",
+    "compact_construct_list",
+    "compact_combine_into_compact",
+    "Search",
+    "SearchResult",
+    "disable_cache",
+    "settings",
+]

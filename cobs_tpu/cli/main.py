@@ -1,0 +1,559 @@
+"""`cobs` command-line interface.
+
+The same 11 subtools as the reference CLI with the same flag names and
+defaults (reference: src/cobs.cpp:970-1016): doc-list, doc-dump,
+classic-construct, classic-construct-random, compact-construct,
+compact-construct-combine, query, print-parameters, print-kmers,
+benchmark-fpr, generate-queries.
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+FILE_TYPE_HELP = (
+    'filter documents by file type (any, text, cortex, cobs, fasta, '
+    'fastq, fasta_multi, fastq_multi, list)')
+
+
+def _add_threads_flag(p):
+    p.add_argument("-T", "--threads", type=int, default=None,
+                   help="number of threads to use, default: max cores")
+
+
+def _apply_threads(args):
+    if getattr(args, "threads", None):
+        from cobs_tpu.settings import settings
+        settings.threads = args.threads
+
+
+def _parse_bytes(s: str) -> int:
+    """Parse '4G', '512M', '80%' style byte sizes."""
+    s = s.strip()
+    mult = 1
+    suffixes = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    low = s.lower()
+    for suf, m in suffixes.items():
+        if low.endswith(suf + "i") or low.endswith(suf + "ib") or \
+                low.endswith(suf + "b") or low.endswith(suf):
+            mult = m
+            s = s[:s.lower().find(suf)]
+            break
+    return int(float(s) * mult)
+
+
+# ---------------------------------------------------------------- doc tools
+
+def _print_document_list(filelist, term_size, os_=None):
+    os_ = os_ or sys.stdout
+    print("--- document list (" + str(filelist.size()) + " entries) ---",
+          file=os_)
+    total, min_t, max_t = 0, None, 0
+    for i, e in enumerate(filelist.list()):
+        t = e.num_terms(term_size)
+        total += t
+        min_t = t if min_t is None else min(min_t, t)
+        max_t = max(max_t, t)
+        print(f"document[{i}] size {e.size} {e.type.name} "
+              f"terms {t} : {e.path} : {e.name}", file=os_)
+    print(f"--- end of document list ({filelist.size()} entries) ---",
+          file=os_)
+    print(f"documents: {filelist.size()}", file=os_)
+    if filelist.size():
+        print(f"minimum {term_size}-mers: {min_t}", file=os_)
+        print(f"maximum {term_size}-mers: {max_t}", file=os_)
+        print(f"average {term_size}-mers: "
+              f"{int(total / filelist.size())}", file=os_)
+        print(f"total {term_size}-mers: {total}", file=os_)
+
+
+def cmd_doc_list(argv):
+    p = argparse.ArgumentParser(prog="cobs doc-list")
+    p.add_argument("path")
+    p.add_argument("--file-type", default="any", help=FILE_TYPE_HELP)
+    p.add_argument("-k", "--term-size", type=int, default=31)
+    args = p.parse_args(argv)
+
+    from cobs_tpu.ingest.document_list import DocumentList, \
+        string_to_file_type
+    filelist = DocumentList(args.path, string_to_file_type(args.file_type))
+    _print_document_list(filelist, args.term_size)
+    return 0
+
+
+def cmd_doc_dump(argv):
+    p = argparse.ArgumentParser(prog="cobs doc-dump")
+    p.add_argument("path")
+    p.add_argument("-k", "--term-size", type=int, default=31)
+    p.add_argument("--no-canonicalize", action="store_true")
+    p.add_argument("--file-type", default="any", help=FILE_TYPE_HELP)
+    args = p.parse_args(argv)
+
+    from cobs_tpu.core.canonical import canonicalize_batch
+    from cobs_tpu.ingest.document_list import DocumentList, \
+        string_to_file_type
+    filelist = DocumentList(args.path, string_to_file_type(args.file_type))
+    print(f"Found {filelist.size()} documents.", file=sys.stderr)
+    for i, e in enumerate(filelist.list()):
+        print(f"document[{i}] : {e.path} : {e.name}", file=sys.stderr)
+        count = 0
+        for w in e.term_windows(args.term_size):
+            count += w.shape[0]
+            if args.no_canonicalize:
+                for row in w:
+                    sys.stdout.write(row.tobytes().decode() + "\n")
+            else:
+                canon, good = canonicalize_batch(w)
+                for row, g, raw in zip(canon, good, w):
+                    if not g:
+                        sys.stdout.write("Invalid DNA base pair: "
+                                         + raw.tobytes().decode() + "\n")
+                    else:
+                        sys.stdout.write(row.tobytes().decode() + "\n")
+        sys.stdout.flush()
+        print(f"document[{i}] : {count} terms.", file=sys.stderr)
+    return 0
+
+
+# ------------------------------------------------------------- construction
+
+def _construct_common_flags(p, compact=False):
+    p.add_argument("input", help="path to the input directory or file")
+    p.add_argument("out_file", help="path to the output index file")
+    p.add_argument("--file-type", default="any", help=FILE_TYPE_HELP)
+    p.add_argument("-m", "--memory", default=None,
+                   help="memory in bytes to use")
+    p.add_argument("-h2", "--num-hashes", type=int, default=1,
+                   dest="num_hashes",
+                   help="number of hash functions, default: 1")
+    p.add_argument("-f", "--false-positive-rate", type=float, default=0.3)
+    p.add_argument("-k", "--term-size", type=int, default=31)
+    p.add_argument("--no-canonicalize", action="store_true")
+    p.add_argument("-C", "--clobber", action="store_true",
+                   help="erase output directory if it exists")
+    p.add_argument("--continue", dest="continue_", action="store_true",
+                   help="continue in existing output directory")
+    _add_threads_flag(p)
+    p.add_argument("--keep-temporary", action="store_true")
+    p.add_argument("--tmp-path", default=None)
+    if compact:
+        p.add_argument("-p", "--page-size", type=int, default=0,
+                       help="page size of the compact index, "
+                            "default: sqrt(#documents)")
+
+
+def cmd_classic_construct(argv):
+    p = argparse.ArgumentParser(prog="cobs classic-construct",
+                                add_help=True, conflict_handler="resolve")
+    _construct_common_flags(p)
+    args = p.parse_args(argv)
+    _apply_threads(args)
+
+    import cobs_tpu
+    params = cobs_tpu.ClassicIndexParameters(
+        term_size=args.term_size,
+        canonicalize=0 if args.no_canonicalize else 1,
+        num_hashes=args.num_hashes,
+        false_positive_rate=args.false_positive_rate,
+        clobber=args.clobber, continue_=args.continue_,
+        keep_temporary=args.keep_temporary)
+    if args.memory:
+        params.mem_bytes = _parse_bytes(args.memory)
+    if args.threads:
+        params.num_threads = args.threads
+
+    from cobs_tpu.ingest.document_list import DocumentList, \
+        string_to_file_type
+    filelist = DocumentList(args.input, string_to_file_type(args.file_type))
+    _print_document_list(filelist, params.term_size, sys.stderr)
+    cobs_tpu.classic_construct(filelist, args.out_file, args.tmp_path,
+                               params)
+    return 0
+
+
+def cmd_classic_construct_random(argv):
+    p = argparse.ArgumentParser(prog="cobs classic-construct-random")
+    p.add_argument("out_file")
+    p.add_argument("-s", "--signature-size", default=str(2 * 1024 * 1024),
+                   help="number of bits of the signatures, default: 2 Mi")
+    p.add_argument("-n", "--num-documents", type=int, default=10000)
+    p.add_argument("-m", "--document-size", type=int, default=1000000)
+    p.add_argument("-h2", "--num-hashes", dest="num_hashes", type=int,
+                   default=1)
+    p.add_argument("--seed", type=int, default=None)
+    args = p.parse_args(argv)
+
+    import cobs_tpu
+    seed = args.seed if args.seed is not None else \
+        int.from_bytes(np.random.bytes(4), "little")
+    cobs_tpu.classic_construct_random(
+        args.out_file, _parse_bytes(args.signature_size),
+        args.num_documents, args.document_size, args.num_hashes, seed)
+    return 0
+
+
+def cmd_compact_construct(argv):
+    p = argparse.ArgumentParser(prog="cobs compact-construct",
+                                conflict_handler="resolve")
+    _construct_common_flags(p, compact=True)
+    args = p.parse_args(argv)
+    _apply_threads(args)
+
+    import cobs_tpu
+    params = cobs_tpu.CompactIndexParameters(
+        term_size=args.term_size,
+        canonicalize=0 if args.no_canonicalize else 1,
+        num_hashes=args.num_hashes,
+        false_positive_rate=args.false_positive_rate,
+        page_size=args.page_size,
+        clobber=args.clobber, continue_=args.continue_,
+        keep_temporary=args.keep_temporary)
+    if args.memory:
+        params.mem_bytes = _parse_bytes(args.memory)
+    if args.threads:
+        params.num_threads = args.threads
+
+    from cobs_tpu.ingest.document_list import DocumentList, \
+        string_to_file_type
+    filelist = DocumentList(args.input, string_to_file_type(args.file_type))
+    _print_document_list(filelist, params.term_size, sys.stderr)
+    cobs_tpu.compact_construct(filelist, args.out_file, args.tmp_path,
+                               params)
+    return 0
+
+
+def cmd_compact_construct_combine(argv):
+    p = argparse.ArgumentParser(prog="cobs compact-construct-combine")
+    p.add_argument("in_dir")
+    p.add_argument("out_file")
+    p.add_argument("-p", "--page-size", type=int, default=8192,
+                   help="page size of the compact index, default: 8192")
+    args = p.parse_args(argv)
+
+    import cobs_tpu
+    cobs_tpu.compact_combine_into_compact(args.in_dir, args.out_file,
+                                          args.page_size)
+    return 0
+
+
+# ------------------------------------------------------------------- query
+
+def cmd_query(argv):
+    p = argparse.ArgumentParser(prog="cobs query")
+    p.add_argument("-i", "--index", action="append", default=[],
+                   help="path to index file(s)")
+    p.add_argument("query", nargs="?", default="",
+                   help="the text sequence to search for")
+    p.add_argument("-f", "--file", default="",
+                   help="query (fasta) file to process")
+    p.add_argument("-t", "--threshold", type=float, default=0.8,
+                   help="threshold in percentage of terms in query "
+                        "matching, default: 0.8")
+    p.add_argument("-l", "--limit", type=int, default=0,
+                   help="number of results to return, default: all")
+    p.add_argument("--load-complete", action="store_true")
+    _add_threads_flag(p)
+    args = p.parse_args(argv)
+    _apply_threads(args)
+    if args.load_complete:
+        from cobs_tpu.settings import settings
+        settings.load_complete_index = True
+
+    import cobs_tpu
+    s = cobs_tpu.Search(args.index)
+
+    if args.query:
+        for res in s.search(args.query, args.threshold, args.limit):
+            print(f"{res.doc_name}\t{res.score}")
+    elif args.file:
+        # FASTA query file: batch all sequences into one device launch
+        comments, queries = [], []
+        comment, parts = "", []
+        with open(args.file) as qf:
+            for line in qf:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                if line[0] in ">;":
+                    if parts:
+                        comments.append(comment)
+                        queries.append("".join(parts))
+                    comment, parts = "*" + line[1:], []
+                else:
+                    parts.append(line)
+        if parts:
+            comments.append(comment)
+            queries.append("".join(parts))
+        results = s.search_batch(queries, args.threshold, args.limit)
+        for comment, result in zip(comments, results):
+            print(f"{comment}\t{len(result)}")
+            for res in result:
+                print(f"{res.doc_name}\t{res.score}")
+    else:
+        print("Pass a verbatim query or a query file.", file=sys.stderr)
+        return -1
+    s.timer().print("search")
+    return 0
+
+
+# ------------------------------------------------------------------- misc
+
+def cmd_print_parameters(argv):
+    p = argparse.ArgumentParser(prog="cobs print-parameters")
+    p.add_argument("-h2", "--num-hashes", dest="num_hashes", type=int,
+                   default=1)
+    p.add_argument("-f", "--false-positive-rate", type=float, default=0.3)
+    p.add_argument("-n", "--num-elements", default="0")
+    args = p.parse_args(argv)
+
+    from cobs_tpu.core.params import (calc_signature_size,
+                                      calc_signature_size_ratio)
+    from cobs_tpu.utils.misc import format_iec
+    num_elements = _parse_bytes(args.num_elements)
+    if num_elements == 0:
+        print(calc_signature_size_ratio(args.num_hashes,
+                                        args.false_positive_rate))
+    else:
+        sig = calc_signature_size(num_elements, args.num_hashes,
+                                  args.false_positive_rate)
+        print(f"signature_size = {sig}")
+        print(f"signature_bytes = {sig // 8} = {format_iec(sig // 8)}")
+    return 0
+
+
+def cmd_print_kmers(argv):
+    p = argparse.ArgumentParser(prog="cobs print-kmers")
+    p.add_argument("query")
+    p.add_argument("-k", "--kmer-size", type=int, default=31)
+    args = p.parse_args(argv)
+
+    from cobs_tpu.core.canonical import canonicalize_batch
+    from cobs_tpu.ingest.util import sliding_windows
+    q = np.frombuffer(args.query.encode(), dtype=np.uint8)
+    windows = sliding_windows(q, args.kmer_size)
+    # the reference emits size-k windows for i in [0, |q|-k), one fewer
+    # than the total window count (reference: src/cobs.cpp:584-597)
+    windows = windows[:max(0, len(args.query) - args.kmer_size)]
+    if windows.shape[0]:
+        canon, good = canonicalize_batch(windows)
+        for row, g, raw in zip(canon, good, windows):
+            if not g:
+                print("Invalid DNA base pair: " + raw.tobytes().decode())
+            else:
+                print(row.tobytes().decode())
+    return 0
+
+
+def cmd_benchmark_fpr(argv):
+    p = argparse.ArgumentParser(prog="cobs benchmark-fpr")
+    p.add_argument("in_file")
+    p.add_argument("-k", "--num-kmers", type=int, default=1000)
+    p.add_argument("-q", "--queries", type=int, default=10000)
+    p.add_argument("-w", "--warmup", type=int, default=100)
+    p.add_argument("-d", "--dist", action="store_true",
+                   help="calculate false positive distribution")
+    p.add_argument("-b", "--batch", type=int, default=64,
+                   help="queries per device batch (TPU addition)")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from cobs_tpu.query.search import Search
+    from cobs_tpu.utils.misc import random_sequence_rng
+    rng = np.random.default_rng(args.seed)
+
+    warmup = [random_sequence_rng(args.num_kmers + 30, rng)
+              for _ in range(args.warmup)]
+    queries = [random_sequence_rng(args.num_kmers + 30, rng)
+               for _ in range(args.queries)]
+
+    s = Search(args.in_file)
+    for i in range(0, len(warmup), args.batch):
+        s.search_batch(warmup[i:i + args.batch])
+    s.timer().reset()
+
+    counts: dict[int, int] = {}
+    t0 = time.perf_counter()
+    result = []
+    for i in range(0, len(queries), args.batch):
+        batch_results = s.search_batch(queries[i:i + args.batch])
+        if args.dist:
+            for result in batch_results:
+                for r in result:
+                    counts[r.score] = counts.get(r.score, 0) + 1
+        else:
+            result = batch_results[-1]
+    elapsed = time.perf_counter() - t0
+
+    t = s.timer()
+    print("RESULT"
+          " name=benchmark "
+          f" index={args.in_file}"
+          f" kmer_queries={len(queries[0]) - 30}"
+          f" queries={len(queries)}"
+          f" warmup={len(warmup)}"
+          f" results={len(result)}"
+          f" batch={args.batch}"
+          f" t_hashes={t.get('hashes')}"
+          f" t_io={t.get('io')}"
+          f" t_and={t.get('and rows')}"
+          f" t_add={t.get('add rows')}"
+          f" t_sort={t.get('sort results')}"
+          f" t_total={elapsed}"
+          f" queries_per_s={len(queries) / elapsed}")
+    for score in sorted(counts):
+        print(f"RESULT name=benchmark_fpr fpr={score} dist={counts[score]}")
+    return 0
+
+
+def cmd_generate_queries(argv):
+    p = argparse.ArgumentParser(prog="cobs generate-queries")
+    p.add_argument("path", help="path to base documents")
+    p.add_argument("--file-type", default="any", help=FILE_TYPE_HELP)
+    _add_threads_flag(p)
+    p.add_argument("-k", "--term-size", type=int, default=31)
+    p.add_argument("-p", "--positive", type=int, default=0)
+    p.add_argument("-n", "--negative", type=int, default=0)
+    p.add_argument("-N", "--true-negative", action="store_true")
+    p.add_argument("-s", "--size", type=int, default=0,
+                   help="extend positive terms with random data to size")
+    p.add_argument("-S", "--seed", type=int, default=0)
+    p.add_argument("-o", "--out-file", default="")
+    args = p.parse_args(argv)
+    _apply_threads(args)
+
+    from cobs_tpu.ingest.document_list import DocumentList, \
+        string_to_file_type
+    from cobs_tpu.utils.misc import random_sequence_rng
+    filelist = DocumentList(args.path, string_to_file_type(args.file_type))
+    rng = np.random.default_rng(args.seed)
+
+    term_size = args.term_size
+    fixed_size = max(args.size, term_size)
+
+    prefix = []
+    total_terms = 0
+    for e in filelist.list():
+        prefix.append(total_terms)
+        total_terms += e.num_terms(term_size)
+    print(f"Given {filelist.size()} documents containing {total_terms} "
+          f"{term_size}-gram terms", file=sys.stderr)
+
+    if total_terms < args.positive:
+        raise SystemExit("not enough terms for requested positives")
+
+    positive_ids = set()
+    while len(positive_ids) < args.positive:
+        positive_ids.add(int(rng.integers(0, total_terms)))
+    positive_ids = sorted(positive_ids)
+
+    # negatives: random queries, optionally verified against the corpus
+    negatives = [random_sequence_rng(fixed_size, rng)
+                 for _ in range(int(1.5 * args.negative))]
+    negative_terms: dict[bytes, list[int]] = {}
+    for t_i, neg in enumerate(negatives):
+        nb = neg.encode()
+        for i in range(len(nb) - term_size + 1):
+            negative_terms.setdefault(nb[i:i + term_size], []).append(t_i)
+
+    queries = []  # (comment, sequence)
+    pos_iter = iter(positive_ids)
+    next_id = next(pos_iter, None)
+    index = 0
+    for d, e in enumerate(filelist.list()):
+        doc_start = index
+        for w in e.term_windows(term_size):
+            n = w.shape[0]
+            while next_id is not None and index <= next_id < index + n:
+                term = w[next_id - index].tobytes()
+                if fixed_size > term_size:
+                    pad = fixed_size - term_size
+                    front = int(rng.integers(0, pad))
+                    term = (random_sequence_rng(front, rng).encode() + term
+                            + random_sequence_rng(pad - front, rng).encode())
+                queries.append((
+                    f">doc:{d}:term:{next_id - doc_start}:{e.name}",
+                    term.decode()))
+                next_id = next(pos_iter, None)
+            if args.true_negative:
+                for row in w:
+                    hit = negative_terms.pop(row.tobytes(), None)
+                    if hit is not None:
+                        for t_i in hit:
+                            negatives[t_i] = ""
+            index += n
+
+    real_negatives = [x for x in negatives if x][:args.negative]
+    if len(real_negatives) < args.negative:
+        raise SystemExit(
+            "Not enough true negatives left, you were unlucky, try again.")
+    for i, neg in enumerate(real_negatives):
+        queries.append((f">negative{i}", neg))
+
+    order = rng.permutation(len(queries))
+    out = sys.stdout if not args.out_file else open(args.out_file, "w")
+    try:
+        for i in order:
+            comment, seq = queries[i]
+            out.write(comment + "\n" + seq + "\n")
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
+# ------------------------------------------------------------------ driver
+
+SUBTOOLS = {
+    "doc-list": (cmd_doc_list, "read a list of documents and print them"),
+    "doc-dump": (cmd_doc_dump, "read a list of documents and dump their "
+                               "terms"),
+    "classic-construct": (cmd_classic_construct,
+                          "construct a classic index from documents"),
+    "classic-construct-random": (cmd_classic_construct_random,
+                                 "construct a classic index with random "
+                                 "data"),
+    "compact-construct": (cmd_compact_construct,
+                          "construct a compact index from documents"),
+    "compact-construct-combine": (cmd_compact_construct_combine,
+                                  "combine classic indices into a compact "
+                                  "index"),
+    "query": (cmd_query, "query an index"),
+    "print-parameters": (cmd_print_parameters,
+                         "print index parameters for a given configuration"),
+    "print-kmers": (cmd_print_kmers,
+                    "print canonicalized k-mers of a query"),
+    "benchmark-fpr": (cmd_benchmark_fpr,
+                      "run a false-positive-rate benchmark"),
+    "generate-queries": (cmd_generate_queries,
+                         "select queries randomly from documents"),
+}
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print("Usage: cobs <subtool> ...\n\nSubtools:")
+        for name, (_fn, help_) in SUBTOOLS.items():
+            print(f"  {name:28s} {help_}")
+        return 0 if argv else -1
+    name, rest = argv[0], argv[1:]
+    if name not in SUBTOOLS:
+        print(f"Unknown subtool '{name}'", file=sys.stderr)
+        return -1
+    from cobs_tpu.fmt.magic import FileIOError
+    try:
+        return SUBTOOLS[name][0](rest)
+    except (ValueError, FileNotFoundError, FileExistsError,
+            RuntimeError, FileIOError) as e:
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 1
+
+
+def console_main() -> None:
+    raise SystemExit(main())
+
+
+if __name__ == "__main__":
+    console_main()

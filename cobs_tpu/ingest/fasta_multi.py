@@ -1,0 +1,126 @@
+"""Multi-FASTA parser: each '>'-sequence is its own sub-document
+(reference: cobs/fasta_multifile.hpp).
+
+Byte offsets of each sub-document are cached to ``<file>.cobs_cache``
+(byte-compatible layout: u64 count, then per sub-document u64 size,
+u64 pos_begin, name + '\\0') and in a process-wide in-memory cache.
+"""
+
+import os
+import struct
+
+import numpy as np
+
+from cobs_tpu.settings import settings
+from cobs_tpu.ingest.util import sliding_windows
+
+#: process-wide index cache: path -> list of (name, pos_begin, size)
+_INDEX_CACHE: dict[str, list[tuple[str, int, int]]] = {}
+
+
+class FastaMultifile:
+    def __init__(self, path, use_cache: bool = True):
+        self.path = str(path)
+        with open(self.path, "rb") as f:
+            first = f.read(1)
+        if first not in (b">", b";"):
+            raise ValueError(
+                f"FastaMultifile: file does not start with > or ; - "
+                f"{self.path}")
+        if not use_cache or settings.disable_cache:
+            self.index = self._compute_index()
+        elif self.path in _INDEX_CACHE:
+            self.index = _INDEX_CACHE[self.path]
+        else:
+            idx = self._read_cache_file()
+            if idx is None:
+                idx = self._compute_index()
+                self._write_cache_file(idx)
+            self.index = idx
+            _INDEX_CACHE[self.path] = idx
+
+    def cache_path(self) -> str:
+        return self.path + ".cobs_cache"
+
+    def _compute_index(self) -> list[tuple[str, int, int]]:
+        index = []
+        with open(self.path, "rb") as f:
+            line = f.readline()
+            while line:
+                if line.startswith(b">"):
+                    name = line.rstrip(b"\n").decode(
+                        "utf-8", errors="surrogateescape")[:16]
+                    pos_begin = f.tell()
+                    size = 0
+                    line = f.readline()
+                    while line and not line.startswith((b">", b";")):
+                        size += len(line.rstrip(b"\n"))
+                        line = f.readline()
+                    index.append((name, pos_begin, size))
+                else:
+                    line = f.readline()
+        return index
+
+    def _write_cache_file(self, index) -> None:
+        tmp = self.cache_path() + ".tmp"
+        try:
+            with open(tmp, "wb") as f:
+                f.write(struct.pack("<Q", len(index)))
+                for name, pos_begin, size in index:
+                    f.write(struct.pack("<QQ", size, pos_begin))
+                    f.write(name.encode(
+                        "utf-8", errors="surrogateescape") + b"\0")
+            os.replace(tmp, self.cache_path())
+        except OSError:
+            pass
+
+    def _read_cache_file(self):
+        try:
+            with open(self.cache_path(), "rb") as f:
+                count = struct.unpack("<Q", f.read(8))[0]
+                index = []
+                for _ in range(count):
+                    size, pos_begin = struct.unpack("<QQ", f.read(16))
+                    name = bytearray()
+                    while True:
+                        c = f.read(1)
+                        if not c or c == b"\0":
+                            break
+                        name += c
+                    index.append((name.decode(
+                        "utf-8", errors="surrogateescape"), pos_begin, size))
+                return index if f.read(1) == b"" else None
+        except (OSError, struct.error):
+            return None
+
+    def num_documents(self) -> int:
+        return len(self.index)
+
+    def size(self, doc_index: int) -> int:
+        if doc_index >= len(self.index):
+            return 0
+        return self.index[doc_index][2]
+
+    def subdoc_sequence(self, doc_index: int) -> np.ndarray:
+        """Concatenated sequence bytes of one sub-document."""
+        if doc_index >= len(self.index):
+            return np.empty(0, dtype=np.uint8)
+        _, pos_begin, _ = self.index[doc_index]
+        parts = []
+        with open(self.path, "rb") as f:
+            f.seek(pos_begin)
+            for line in f:
+                if line.startswith((b">", b";")):
+                    break
+                parts.append(line.rstrip(b"\n"))
+        return np.frombuffer(b"".join(parts), dtype=np.uint8)
+
+    def term_windows(self, doc_index: int, term_size: int):
+        w = sliding_windows(self.subdoc_sequence(doc_index), term_size)
+        if w.shape[0]:
+            yield w
+
+    def process_terms(self, doc_index: int, term_size: int, callback) -> None:
+        for w in self.term_windows(doc_index, term_size):
+            for row in w:
+                callback(row.tobytes())

@@ -1,0 +1,249 @@
+"""TPU query engine: fused gather -> AND -> bit-count scoring.
+
+Design (TPU-first, not a port):
+
+The reference streams byte rows from mmap per score batch, ANDs them with
+64-bit scalar ops and expands bits into counters through SSE2 lookup tables
+(reference: cobs/query/classic_search.cpp:279-401, 507-1022). On TPU the
+whole index instead lives in HBM as ONE dense uint32 matrix
+``[total_rows, W]``:
+
+- classic index: total_rows = signature_size, W = ceil(row_size/4) words;
+- compact index: the per-page sub-matrices (page p has its own
+  signature_size_p) are stacked row-wise; ``row_offsets[p]`` locates page
+  p's block, and every page is padded to the same word width W =
+  page_size/4. This is the same uniform-page trick the compact file format
+  itself uses (reference: cobs/construction/compact_index.cpp:137-150),
+  which makes classic a P=1 special case and gives one engine for both.
+
+A query batch becomes a row-index tensor [B, T, h, P] (hashes modded by the
+per-page signature size on the host in uint64). The device then:
+  gather rows -> AND across the h hash functions -> unpack each u32 into 32
+  per-document indicator lanes -> sum over terms -> int32 scores [B, docs].
+
+Everything is static-shaped (T padded to buckets, padding terms point at a
+zero row so they contribute nothing) and batched over queries — batching is
+the main throughput win over the reference's serial per-query loop.
+"""
+
+import dataclasses
+import functools
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cobs_tpu.core.canonical import canonicalize_batch
+from cobs_tpu.core.xxh64 import xxh64_multi_seed
+from cobs_tpu.fmt import classic as fmt_classic
+from cobs_tpu.fmt import compact as fmt_compact
+from cobs_tpu.fmt.magic import FileIOError
+from cobs_tpu.ingest.util import sliding_windows
+from cobs_tpu.utils.timer import Timer
+
+#: lane padding of the word axis; 128 words = 512 documents per row tile
+_WORD_ALIGN = 128
+
+
+def _pad_words(n: int) -> int:
+    return max(_WORD_ALIGN, -(-n // _WORD_ALIGN) * _WORD_ALIGN)
+
+
+def _bytes_to_words(rows: np.ndarray, word_width: int) -> np.ndarray:
+    """uint8 [R, row_bytes] -> uint32 [R, word_width] little-endian.
+
+    LSB-first byte bits + little-endian words mean: document index ==
+    word_index * 32 + bit_index, with no bit shuffling.
+    """
+    R, row_bytes = rows.shape
+    out = np.zeros((R, word_width * 4), dtype=np.uint8)
+    out[:, :row_bytes] = rows
+    return out.view("<u4")
+
+
+@dataclasses.dataclass
+class DeviceIndex:
+    """An index resident in device HBM."""
+
+    #: uint32 [total_rows + 1, W]; the last row is all-zero (gather target
+    #: for padding terms)
+    matrix: jax.Array
+    #: int64 [P] row offset of each page block
+    row_offsets: np.ndarray
+    #: uint64 [P] per-page signature sizes
+    sig_sizes: np.ndarray
+    #: words per page row
+    word_width: int
+    term_size: int
+    canonicalize: int
+    num_hashes: int
+    page_size: int  # bytes per page row
+    file_names: list[str]
+    path: str = ""
+
+    @property
+    def num_pages(self) -> int:
+        return len(self.sig_sizes)
+
+    @property
+    def counts_size(self) -> int:
+        """Score slots including 8-alignment padding
+        (reference: cobs/query/classic_index/search_file.cpp:21-23,
+        compact_index/search_file.cpp)."""
+        return 8 * self.page_size * self.num_pages
+
+    @property
+    def docs_per_page(self) -> int:
+        return 8 * self.page_size
+
+    @classmethod
+    def from_classic(cls, path) -> "DeviceIndex":
+        h, rows = fmt_classic.read_classic_index(path)
+        W = _pad_words(-(-h.row_size // 4))
+        words = _bytes_to_words(rows, W)
+        return cls._build(
+            [words], [h.signature_size], W, h.term_size, h.canonicalize,
+            h.num_hashes, h.row_size, h.file_names, str(path))
+
+    @classmethod
+    def from_compact(cls, path) -> "DeviceIndex":
+        h, pages = fmt_compact.read_compact_index(path)
+        if not h.parameters:
+            raise FileIOError("compact index has no pages")
+        num_hashes = h.parameters[0].num_hashes
+        for p in h.parameters:
+            if p.num_hashes != num_hashes:
+                raise FileIOError(
+                    "compact index with non-uniform num_hashes unsupported")
+        W = _pad_words(-(-h.page_size // 4))
+        words = [_bytes_to_words(pg, W) for pg in pages]
+        return cls._build(
+            words, [p.signature_size for p in h.parameters], W,
+            h.term_size, h.canonicalize, num_hashes, h.page_size,
+            h.file_names, str(path))
+
+    @classmethod
+    def _build(cls, page_words, sig_sizes, W, term_size, canonicalize,
+               num_hashes, page_size, file_names, path) -> "DeviceIndex":
+        offsets = np.zeros(len(page_words), dtype=np.int64)
+        acc = 0
+        for i, pw in enumerate(page_words):
+            offsets[i] = acc
+            acc += pw.shape[0]
+        stacked = np.concatenate(
+            page_words + [np.zeros((1, W), dtype=np.uint32)], axis=0)
+        matrix = jax.device_put(stacked)
+        return cls(matrix=matrix, row_offsets=offsets,
+                   sig_sizes=np.asarray(sig_sizes, dtype=np.uint64),
+                   word_width=W, term_size=term_size,
+                   canonicalize=canonicalize, num_hashes=num_hashes,
+                   page_size=page_size, file_names=file_names, path=path)
+
+    @classmethod
+    def from_file(cls, path) -> "DeviceIndex":
+        if fmt_classic.is_classic_file(path):
+            return cls.from_classic(path)
+        if fmt_compact.is_compact_file(path):
+            return cls.from_compact(path)
+        raise FileIOError(f'Could not open index path "{path}"')
+
+    @property
+    def zero_row(self) -> int:
+        return self.matrix.shape[0] - 1
+
+    def row_indices(self, hashes: np.ndarray) -> np.ndarray:
+        """uint64 hashes [T, h] -> int32 row indices [T, h, P]
+        (per-page modulo, reference:
+        cobs/query/compact_index/mmap_search_file.cpp:55-66)."""
+        idx = (hashes[:, :, None] % self.sig_sizes[None, None, :]
+               + self.row_offsets[None, None, :].astype(np.uint64))
+        if self.matrix.shape[0] <= np.iinfo(np.int32).max:
+            return idx.astype(np.int32)
+        raise ValueError("index too large for int32 row addressing")
+
+
+def create_hashes(queries: list[bytes], term_size: int, num_hashes: int,
+                  canonicalize: int) -> list[np.ndarray]:
+    """Per query: uint64 [num_terms, num_hashes] raw (un-modded) XXH64
+    (reference: cobs/query/classic_search.cpp:66-107)."""
+    out = []
+    for q in queries:
+        windows = sliding_windows(np.frombuffer(q, dtype=np.uint8),
+                                  term_size)
+        if windows.shape[0] == 0:
+            raise ValueError(
+                f"query too short, needs to be at least {term_size} "
+                "characters long")
+        if canonicalize == 1:
+            windows, good = canonicalize_batch(windows)
+            if not good.all():
+                raise ValueError("Invalid DNA base pair in query string. "
+                                 "Only ACGT are allowed.")
+        elif canonicalize != 0:
+            raise ValueError(f"Unknown canonicalize value {canonicalize}")
+        out.append(xxh64_multi_seed(np.ascontiguousarray(windows),
+                                    num_hashes))
+    return out
+
+
+def _bucket(n: int) -> int:
+    """Pad term counts to buckets to bound jit recompilation."""
+    b = 16
+    while b < n:
+        b *= 2
+    return b
+
+
+@functools.partial(jax.jit, static_argnames=("num_hashes",))
+def _gather_and_count(matrix: jax.Array, rows_idx: jax.Array,
+                      num_hashes: int) -> jax.Array:
+    """matrix u32 [R, W], rows_idx i32 [B, T, h, P] -> scores i32 [B, P*W*32].
+
+    The fused hot path: XLA lowers the take() to dynamic-slice gathers from
+    HBM, the AND/unpack/sum fuse into one VPU loop over the gathered tiles.
+    """
+    g = jnp.take(matrix, rows_idx, axis=0)          # [B, T, h, P, W] u32
+    anded = g[:, :, 0]
+    for j in range(1, num_hashes):
+        anded = anded & g[:, :, j]                   # [B, T, P, W]
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (anded[..., None] >> shifts) & jnp.uint32(1)   # [B, T, P, W, 32]
+    scores = jnp.sum(bits.astype(jnp.int32), axis=1)      # [B, P, W, 32]
+    B = scores.shape[0]
+    return scores.reshape(B, -1)
+
+
+def score_batch(index: DeviceIndex, hashes_list: list[np.ndarray],
+                timer: Timer | None = None) -> np.ndarray:
+    """Score a batch of queries against one index.
+
+    Returns int32 [B, counts_size] in document order (page-major,
+    page-local doc id = word*32 + bit), matching the reference's 8-aligned
+    score layout (reference: cobs/query/classic_search.cpp:413-429).
+    """
+    B = len(hashes_list)
+    T_max = _bucket(max(h.shape[0] for h in hashes_list))
+    P = index.num_pages
+    h = index.num_hashes
+
+    rows_idx = np.full((B, T_max, h, P), index.zero_row, dtype=np.int32)
+    for b, hs in enumerate(hashes_list):
+        rows_idx[b, :hs.shape[0]] = index.row_indices(hs)
+
+    if timer:
+        timer.active("io")
+    scores = _gather_and_count(index.matrix, jnp.asarray(rows_idx),
+                               index.num_hashes)
+    scores = np.asarray(jax.block_until_ready(scores))
+    if timer:
+        timer.stop()
+
+    # strip per-page word padding: keep 8*page_size docs per page
+    W32 = index.word_width * 32
+    docs = index.docs_per_page
+    if P == 1:
+        return scores[:, :docs]
+    return scores.reshape(B, P, W32)[:, :, :docs].reshape(B, P * docs)

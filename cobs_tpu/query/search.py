@@ -1,0 +1,131 @@
+"""Search API: thresholding, ranking, multi-index federation.
+
+Mirrors the observable semantics of the reference `ClassicSearch`
+(reference: cobs/query/classic_search.cpp:109-202, 403-505):
+
+- per index threshold = ceil(threshold * (|q| - term_size_i + 1));
+- results sorted by (score desc, doc index asc), multi-index ties by
+  (index id, doc id) ascending;
+- num_results == 0 means all documents;
+- auto-detects classic vs compact files from the header.
+
+Adds `search_batch` — many queries scored in one device launch, the main
+TPU throughput lever the serial reference lacks.
+"""
+
+import dataclasses
+import math
+
+import numpy as np
+
+from cobs_tpu.query.engine import DeviceIndex, create_hashes, score_batch
+from cobs_tpu.utils.timer import Timer
+
+
+@dataclasses.dataclass
+class SearchResult:
+    doc_name: str
+    score: int
+
+    def __iter__(self):
+        return iter((self.doc_name, self.score))
+
+    def __repr__(self):
+        return f"SearchResult({self.doc_name!r}, {self.score})"
+
+
+class Search:
+    """Query one or more device-resident indices.
+
+    Accepts an index path (auto-detect classic/compact), a DeviceIndex, or
+    a list of either (multi-index federation, reference:
+    cobs/query/classic_search.cpp:413-435).
+    """
+
+    def __init__(self, indices):
+        if not isinstance(indices, (list, tuple)):
+            indices = [indices]
+        self.index_files: list[DeviceIndex] = [
+            ix if isinstance(ix, DeviceIndex) else DeviceIndex.from_file(ix)
+            for ix in indices]
+        self.timer_ = Timer()
+
+    def timer(self) -> Timer:
+        return self.timer_
+
+    def search(self, query, threshold: float = 0.0,
+               num_results: int = 0) -> list[SearchResult]:
+        return self.search_batch([query], threshold, num_results)[0]
+
+    def search_batch(self, queries, threshold: float = 0.0,
+                     num_results: int = 0) -> list[list[SearchResult]]:
+        """Score a batch of queries in one device launch per index."""
+        if not self.index_files or not queries:
+            return [[] for _ in queries]
+        qbytes = [q.encode() if isinstance(q, str) else bytes(q)
+                  for q in queries]
+
+        max_term_size = max(ix.term_size for ix in self.index_files)
+        for q in qbytes:
+            if len(q) < max_term_size:
+                raise ValueError(
+                    f"query too short, needs to be at least "
+                    f"{max_term_size} characters long")
+
+        B = len(qbytes)
+        per_index_scores = []
+        thresholds = []
+        for ix in self.index_files:
+            self.timer_.active("hashes")
+            hashes = create_hashes(
+                qbytes, ix.term_size, ix.num_hashes, ix.canonicalize)
+            self.timer_.stop()
+            per_index_scores.append(score_batch(ix, hashes, self.timer_))
+            thresholds.append([
+                math.ceil(threshold * (len(q) - ix.term_size + 1))
+                for q in qbytes])
+
+        out: list[list[SearchResult]] = []
+        total_docs = sum(len(ix.file_names) for ix in self.index_files)
+        for b in range(B):
+            limit = total_docs if num_results == 0 else min(
+                num_results, total_docs)
+            out.append(self._rank(
+                [s[b] for s in per_index_scores],
+                [t[b] for t in thresholds], limit))
+        return out
+
+    def _rank(self, scores_list, thresholds, num_results
+              ) -> list[SearchResult]:
+        """Threshold + exact reference tie ordering."""
+        names: list[str] = []
+        kept_scores: list[np.ndarray] = []
+        kept_global: list[np.ndarray] = []
+        order_base = 0
+        for k, ix in enumerate(self.index_files):
+            n = len(ix.file_names)
+            s = scores_list[k][:n]
+            mask = s >= thresholds[k]
+            idx = np.nonzero(mask)[0]
+            kept_scores.append(s[idx])
+            # global tie key: (index id, doc id) ascending
+            kept_global.append(idx + order_base)
+            names.extend(ix.file_names)
+            order_base += n
+        scores = np.concatenate(kept_scores) if kept_scores else \
+            np.empty(0, dtype=np.int64)
+        gidx = np.concatenate(kept_global) if kept_global else \
+            np.empty(0, dtype=np.int64)
+
+        num_results = min(num_results, scores.size)
+        if scores.size:
+            order = np.lexsort((gidx, -scores.astype(np.int64)))
+            order = order[:num_results]
+        else:
+            order = np.empty(0, dtype=np.int64)
+        return [SearchResult(names[gidx[i]], int(scores[i]))
+                for i in order]
+
+
+#: alias matching the reference class name
+ClassicSearch = Search

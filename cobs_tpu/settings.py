@@ -1,0 +1,31 @@
+"""Global runtime settings.
+
+Mirrors the reference's global option set (reference: cobs/settings.hpp:16-23):
+worker thread count, load-complete-index toggle, and document index cache
+disable. Thread count drives the host-side parallel ingest pool; device-side
+parallelism is controlled by the JAX mesh instead.
+"""
+
+import dataclasses
+import os
+
+
+@dataclasses.dataclass
+class Settings:
+    #! number of host worker threads (ingest / IO); 0 = os.cpu_count()
+    threads: int = os.cpu_count() or 1
+    #! load the complete index into device HBM (vs. stream from host)
+    load_complete_index: bool = False
+    #! disable creation of .cobs_cache document index caches
+    disable_cache: bool = False
+
+
+settings = Settings()
+
+
+def disable_cache() -> None:
+    """Disable reading/writing of document index cache files.
+
+    Mirrors `cobs_index.disable_cache()` (reference: python/module.cpp:389-394).
+    """
+    settings.disable_cache = True
