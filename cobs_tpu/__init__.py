@@ -10,6 +10,19 @@ Public API mirrors the reference `cobs_index` Python module
 (reference: python/module.cpp:71-395) so users can switch directly.
 """
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Honor JAX_PLATFORMS even when the environment pre-imports jax and
+    # pins a hardware platform programmatically (which happens before
+    # user code runs, making the env var silently lose).
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 from cobs_tpu.settings import disable_cache, settings
 from cobs_tpu.ingest.document_list import (
     DocumentEntry,

@@ -1,0 +1,7 @@
+from cobs_tpu.parallel.sharded import (  # noqa: F401
+    ShardedIndex,
+    make_mesh,
+    scatter_step,
+    score_sharded,
+    train_step,
+)

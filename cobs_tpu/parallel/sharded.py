@@ -1,0 +1,209 @@
+"""Multi-chip sharding of the bit-sliced signature index.
+
+The reference is single-node: its only parallelism is a pthread pool over
+document-score batches (reference: cobs/util/parallel_for.hpp:24-63,
+cobs/query/classic_search.cpp:355-400). The TPU build introduces the
+distributed layer itself, following the natural axes of the problem:
+
+- **"docs" axis (tensor-parallel analog)**: the signature matrix
+  ``[rows, W]`` (W = packed uint32 words, 32 documents per word) is
+  sharded on the word axis. Each chip holds the full row range for a
+  contiguous slice of documents, so the per-term row gather, the AND
+  across hash functions and the popcount-accumulate are all **local** —
+  no collective in the hot loop. Scores come back sharded on the same
+  axis; assembling the final vector is one all-gather of ``[B, docs]``
+  int32, tiny next to the matrix traffic.
+- **"batch" axis (data-parallel analog)**: independent queries are
+  sharded across chips; each chip scores its slice of the query batch
+  against its matrix shard.
+
+Construction is a functional scatter step on the same layout: bit-set
+updates ``(row, doc)`` are broadcast, each shard applies the updates that
+fall into its document range (mask + local scatter). Scatter-set into a
+one-hot plane is idempotent, so duplicate (row, doc) pairs — frequent,
+since documents repeat k-mers — need no dedup pass.
+
+Single-chip is the 1x1 mesh special case of the same code path.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cobs_tpu.query.engine import DeviceIndex
+
+
+def make_mesh(n_batch: int = 1, n_docs: int | None = None,
+              devices=None) -> Mesh:
+    """A ("batch", "docs") device mesh.
+
+    Defaults to all available devices on the docs axis: document count
+    scales with corpus size (the axis that outgrows one chip's HBM),
+    while query batches can be regrown at will.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_docs is None:
+        n_docs = len(devices) // n_batch
+    if n_batch * n_docs != len(devices):
+        devices = devices[: n_batch * n_docs]
+    dev_array = np.asarray(devices).reshape(n_batch, n_docs)
+    return Mesh(dev_array, axis_names=("batch", "docs"))
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+class ShardedIndex:
+    """A DeviceIndex re-laid-out across a ("batch", "docs") mesh.
+
+    The word axis is padded so every "docs" shard gets an equal,
+    lane-aligned slice; padding words read as zero and the corresponding
+    phantom documents are stripped when scores are assembled (the same
+    discipline the compact file format uses for its last page,
+    reference: cobs/construction/compact_index.cpp:137-150).
+    """
+
+    def __init__(self, index: DeviceIndex, mesh: Mesh,
+                 word_align: int = 128):
+        self.mesh = mesh
+        self.index = index
+        n_docs = mesh.shape["docs"]
+        W = index.word_width
+        align = max(1, word_align) * n_docs
+        self.word_width = _round_up(W, align)
+        host = np.asarray(index.matrix)  # [total_rows+1, W] u32
+        if self.word_width != W:
+            host = np.pad(host, ((0, 0), (0, self.word_width - W)))
+        # compact pages are already stacked row-wise at uniform width by
+        # DeviceIndex, so one word-axis shard spec covers classic (P=1)
+        # and compact (P>1) alike; per-page rows stay addressed through
+        # index.row_offsets.
+        sharding = NamedSharding(mesh, P(None, "docs"))
+        self.matrix = jax.device_put(host, sharding)
+
+    @property
+    def zero_row(self) -> int:
+        return self.matrix.shape[0] - 1
+
+    def score_batch(self, hashes_list) -> np.ndarray:
+        """Score a batch of queries (uint64 [T, h] raw hashes each)
+        across the mesh; returns int32 [B, counts_size] exactly like the
+        single-chip ``engine.score_batch``."""
+        from cobs_tpu.query.engine import _bucket  # late: avoid cycle
+        ix = self.index
+        B = len(hashes_list)
+        n_batch = self.mesh.shape["batch"]
+        B_pad = _round_up(max(B, n_batch), n_batch)
+        T_max = _bucket(max(h.shape[0] for h in hashes_list))
+        rows_idx = np.full((B_pad, T_max, ix.num_hashes, ix.num_pages),
+                           self.zero_row, dtype=np.int32)
+        for b, hs in enumerate(hashes_list):
+            rows_idx[b, :hs.shape[0]] = ix.row_indices(hs)
+        scores = score_sharded(self.mesh, self.matrix,
+                               jnp.asarray(rows_idx), ix.num_hashes)
+        return assemble_scores(jax.block_until_ready(scores),
+                               ix.docs_per_page)[:B]
+
+
+def score_sharded(mesh: Mesh, matrix: jax.Array, rows_idx: jax.Array,
+                  num_hashes: int) -> jax.Array:
+    """Sharded gather-AND-count.
+
+    Args:
+      matrix: u32 [total_rows+1, W] sharded P(None, "docs"); compact
+        pages stacked row-wise (classic = 1 page); last row all-zero.
+      rows_idx: i32 [B, T, h, pages] sharded P("batch", None, None,
+        None); padding terms point at the zero row.
+    Returns:
+      i32 [B, pages, W, 32] scores sharded P("batch", None, "docs",
+      None); page-local document d's score is at [b, p, d // 32, d % 32].
+    """
+
+    def local(mat, idx):
+        g = jnp.take(mat, idx, axis=0)               # [Bl, T, h, Pp, Wl]
+        anded = g[:, :, 0]
+        for j in range(1, num_hashes):
+            anded = anded & g[:, :, j]               # [Bl, T, Pp, Wl]
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        bits = (anded[..., None] >> shifts) & jnp.uint32(1)
+        return jnp.sum(bits.astype(jnp.int32), axis=1)  # [Bl, Pp, Wl, 32]
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "docs"), P("batch", None, None, None)),
+        out_specs=P("batch", None, "docs", None))(matrix, rows_idx)
+
+
+def scatter_step(mesh: Mesh, matrix: jax.Array, rows: jax.Array,
+                 docs: jax.Array) -> jax.Array:
+    """Functional sharded construction step: OR bit `docs[i]` into row
+    `rows[i]` of the signature matrix.
+
+    Args:
+      matrix: u32 [rows+1, W] sharded P(None, "docs"); the last row is
+        the zero row and must stay zero.
+      rows: i32 [n] replicated — Bloom row per update (hash % sig_size).
+      docs: i32 [n] replicated — global document id per update.
+    Returns:
+      updated matrix, same sharding.
+
+    Each shard owns documents [w0*32, (w0+Wl)*32); updates outside the
+    range are routed to a scratch row that is zeroed before the OR, so
+    duplicates and foreign updates are both harmless (scatter-set of an
+    indicator is idempotent — the dedup pass of the host path is
+    unnecessary here).
+    """
+
+    def local(mat, rows, docs):
+        R1, Wl = mat.shape
+        w0 = lax.axis_index("docs") * Wl
+        d_loc = docs - w0 * 32
+        valid = (d_loc >= 0) & (d_loc < Wl * 32)
+        r = jnp.where(valid, rows, R1 - 1)
+        d = jnp.where(valid, d_loc, 0)
+        plane = jnp.zeros((R1, Wl, 32), dtype=jnp.uint32)
+        plane = plane.at[r, d // 32, d % 32].set(
+            jnp.uint32(1), mode="drop")
+        delta = jnp.sum(plane << jnp.arange(32, dtype=jnp.uint32),
+                        axis=-1, dtype=jnp.uint32)
+        delta = delta.at[R1 - 1].set(jnp.uint32(0))   # keep zero row zero
+        return mat | delta
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "docs"), P(None), P(None)),
+        out_specs=P(None, "docs"))(matrix, rows, docs)
+
+
+def train_step(mesh: Mesh, matrix: jax.Array, rows: jax.Array,
+               docs: jax.Array, rows_idx: jax.Array,
+               num_hashes: int) -> tuple[jax.Array, jax.Array]:
+    """The full sharded step: ingest a batch of bit-set updates into the
+    document-sharded matrix, then score a sharded query batch against it.
+
+    This is the end-to-end unit the multi-chip dry run compiles: data
+    parallelism on the query batch axis, tensor parallelism on the
+    document axis, functional state threading for the matrix.
+    """
+    new_matrix = scatter_step(mesh, matrix, rows, docs)
+    scores = score_sharded(mesh, new_matrix, rows_idx, num_hashes)
+    return new_matrix, scores
+
+
+def assemble_scores(scores: jax.Array, docs_per_page: int) -> np.ndarray:
+    """[B, pages, W, 32] device scores -> host int32 [B, pages*dpp].
+
+    Strips the per-shard word padding, keeping the first
+    ``docs_per_page`` score slots of each page (page-major layout,
+    matching the reference's 8-aligned score offsets, reference:
+    cobs/query/classic_search.cpp:413-429).
+    """
+    s = np.asarray(scores)
+    B, Pp = s.shape[0], s.shape[1]
+    s = s.reshape(B, Pp, -1)[:, :, :docs_per_page]
+    return s.reshape(B, Pp * docs_per_page)

@@ -1,0 +1,131 @@
+"""Multi-chip sharding: the sharded query/construction path must agree
+with the single-device engine and the host constructor (8 virtual CPU
+devices, see conftest.py)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import cobs_tpu
+from cobs_tpu.parallel import (
+    ShardedIndex, make_mesh, scatter_step, score_sharded, train_step)
+from cobs_tpu.parallel.sharded import assemble_scores
+from cobs_tpu.query.engine import DeviceIndex, create_hashes, score_batch
+from cobs_tpu.settings import settings
+
+DATA = Path(__file__).parent / "data"
+GOLDEN_QUERY = "AGTCAACGCTAAGGCATTTCCCCCCTGCCTCCTGCCTGCTGCCAAGCCCT"
+
+
+@pytest.fixture(autouse=True)
+def _no_cache():
+    settings.disable_cache = True
+    yield
+    settings.disable_cache = False
+
+
+@pytest.fixture(scope="module")
+def classic_index(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("sharded")
+    index_file = tmp / "test.cobs_classic"
+    dl = cobs_tpu.DocumentList(DATA / "fasta")
+    p = cobs_tpu.ClassicIndexParameters(clobber=True)
+    cobs_tpu.classic_construct(dl, index_file, index_params=p)
+    return index_file
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape["batch"] * mesh.shape["docs"] == len(jax.devices())
+    mesh = make_mesh(n_batch=2)
+    assert mesh.shape["batch"] == 2
+
+
+@pytest.mark.parametrize("n_batch,n_docs", [(1, 8), (2, 4), (8, 1)])
+def test_sharded_scores_match_single_device(classic_index, n_batch,
+                                            n_docs):
+    ix = DeviceIndex.from_file(classic_index)
+    mesh = make_mesh(n_batch=n_batch, n_docs=n_docs)
+    sharded = ShardedIndex(ix, mesh, word_align=8)
+    queries = [GOLDEN_QUERY.encode(), GOLDEN_QUERY[5:].encode(),
+               GOLDEN_QUERY[:40].encode()]
+    hashes = create_hashes(queries, ix.term_size, ix.num_hashes,
+                           ix.canonicalize)
+    want = score_batch(ix, hashes)
+    got = sharded.score_batch(hashes)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_compact_matches_single_device(tmp_path, rng):
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    for i in range(20):
+        seq = bases[rng.integers(0, 4, size=200 + 37 * i)].tobytes()
+        (docs_dir / f"doc{i:02d}.fasta").write_bytes(
+            b">doc\n" + seq + b"\n")
+    index_file = tmp_path / "test.cobs_compact"
+    dl = cobs_tpu.DocumentList(docs_dir)
+    p = cobs_tpu.CompactIndexParameters(clobber=True, page_size=1)
+    cobs_tpu.compact_construct(dl, index_file, index_params=p)
+    ix = DeviceIndex.from_file(index_file)
+    assert ix.num_pages > 1
+    mesh = make_mesh(n_batch=2, n_docs=4)
+    sharded = ShardedIndex(ix, mesh, word_align=8)
+    hashes = create_hashes([GOLDEN_QUERY.encode()], ix.term_size,
+                           ix.num_hashes, ix.canonicalize)
+    np.testing.assert_array_equal(sharded.score_batch(hashes),
+                                  score_batch(ix, hashes))
+
+
+def test_scatter_step_matches_host_bits(rng):
+    mesh = make_mesh(n_batch=1, n_docs=8)
+    R, W = 64, 16  # 512 documents
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    matrix = jax.device_put(np.zeros((R + 1, W), np.uint32),
+                            NamedSharding(mesh, P(None, "docs")))
+    n = 500
+    rows = rng.integers(0, R, size=n).astype(np.int32)
+    docs = rng.integers(0, W * 32, size=n).astype(np.int32)
+    # duplicates on purpose
+    rows[: n // 4] = rows[n // 4: n // 2]
+    docs[: n // 4] = docs[n // 4: n // 2]
+    out = scatter_step(mesh, matrix, jnp.asarray(rows), jnp.asarray(docs))
+    out = np.asarray(out)
+    want = np.zeros((R + 1, W), np.uint32)
+    for r, d in zip(rows, docs):
+        want[r, d // 32] |= np.uint32(1) << np.uint32(d % 32)
+    np.testing.assert_array_equal(out, want)
+    assert (out[-1] == 0).all()  # zero row intact
+
+
+def test_train_step_scatter_then_query(rng):
+    """One full sharded step: set bits for a 'corpus', query them back."""
+    mesh = make_mesh(n_batch=2, n_docs=4)
+    R, W = 128, 8  # 256 docs
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    matrix = jax.device_put(np.zeros((R + 1, W), np.uint32),
+                            NamedSharding(mesh, P(None, "docs")))
+    # doc 7 gets rows {3, 17, 42}; doc 200 gets rows {3, 99}
+    rows = jnp.asarray(np.array([3, 17, 42, 3, 99], np.int32))
+    docs = jnp.asarray(np.array([7, 7, 7, 200, 200], np.int32))
+    # query terms hitting rows [3,17,42] and [3,99]: expect doc 7 scores
+    # 3 on the first query... rows_idx [B=2, T=3, h=1, P=1]
+    rows_idx = np.full((2, 3, 1, 1), R, np.int32)  # pad -> zero row
+    rows_idx[0, :, 0, 0] = [3, 17, 42]
+    rows_idx[1, :2, 0, 0] = [3, 99]
+    new_matrix, scores = train_step(
+        mesh, matrix, rows, docs, jnp.asarray(rows_idx), num_hashes=1)
+    s = assemble_scores(scores, W * 32)
+    assert s[0, 7] == 3
+    assert s[1, 200] == 2
+    assert s[0, 200] == 1   # doc 200 has row 3 set too
+    assert s[1, 7] == 1
+    # everything else zero
+    mask = np.ones(W * 32, bool)
+    mask[[7, 200]] = False
+    assert (s[:, mask] == 0).all()
