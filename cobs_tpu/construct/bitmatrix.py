@@ -10,6 +10,7 @@ path and the exact shape the TPU scatter kernel consumes.
 
 import numpy as np
 
+from cobs_tpu import native
 from cobs_tpu.core.canonical import canonicalize_batch
 from cobs_tpu.core.xxh64 import xxh64_multi_seed
 
@@ -27,12 +28,16 @@ def doc_row_indices(windows: np.ndarray, signature_size: int,
       letters (construction warns but still indexes the zero-mapped bytes,
       reference: cobs/construction/classic_index.cpp:57-66).
     """
+    if canonicalize not in (0, 1):
+        raise ValueError(f"unknown canonicalize value {canonicalize}")
+    nat = native.window_rows(windows, num_hashes, signature_size,
+                             canonicalize)
+    if nat is not None:
+        return nat
     all_good = True
     if canonicalize == 1:
         windows, good = canonicalize_batch(windows)
         all_good = bool(good.all())
-    elif canonicalize != 0:
-        raise ValueError(f"unknown canonicalize value {canonicalize}")
     hashes = xxh64_multi_seed(windows, num_hashes)
     rows = (hashes % np.uint64(signature_size)).ravel()
     return rows, all_good
@@ -45,6 +50,8 @@ def set_bits(data: np.ndarray, rows: np.ndarray, doc_index: int) -> None:
     (reference: cobs/construction/classic_index.cpp:40-43).
     """
     if rows.size == 0:
+        return
+    if native.set_bits(data, rows, doc_index):
         return
     unique_rows = np.unique(rows)
     data[unique_rows, doc_index >> 3] |= np.uint8(1 << (doc_index & 7))

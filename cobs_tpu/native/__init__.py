@@ -1,0 +1,151 @@
+"""Native C++ host runtime (lazy-built, ctypes-bound).
+
+The reference's host-side hot loops are C++ (reference:
+cobs/construction/classic_index.cpp:39-73); this module provides the
+TPU framework's native equivalents — batched canonicalize+XXH64+mod and
+bit-matrix scatter — with a transparent NumPy fallback when no compiler
+is available. ``lib()`` returns the loaded library or None.
+
+Build artifacts land next to this file (``_native_<tag>.so``); the first
+import pays one ``g++ -O3`` compile (~1s), afterwards the cached .so is
+dlopen'd directly. ctypes releases the GIL during calls, so a Python
+thread pool over documents achieves real host parallelism.
+"""
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sys
+import sysconfig
+import threading
+from pathlib import Path
+
+_HERE = Path(__file__).parent
+_SRC = _HERE / "native.cpp"
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> Path | None:
+    src = _SRC.read_bytes()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    out = _HERE / f"_native_{tag}.so"
+    if out.exists():
+        return out
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           "-o", str(out) + ".tmp", str(_SRC)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except (OSError, subprocess.SubprocessError) as e:
+        print(f"cobs_tpu: native build failed ({e}); "
+              "using NumPy fallback", file=sys.stderr)
+        return None
+    os.replace(str(out) + ".tmp", out)
+    # tidy stale builds
+    for old in _HERE.glob("_native_*.so"):
+        if old != out:
+            try:
+                old.unlink()
+            except OSError:
+                pass
+    return out
+
+
+def lib():
+    """The loaded native library, or None when unavailable/disabled."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    with _lock:
+        if _tried:
+            return _lib
+        if os.environ.get("COBS_TPU_NO_NATIVE"):
+            _tried = True
+            return None
+        path = _build()
+        if path is not None:
+            try:
+                L = ctypes.CDLL(str(path))
+                i64, u64, i32 = (ctypes.c_int64, ctypes.c_uint64,
+                                 ctypes.c_int32)
+                p8 = ctypes.POINTER(ctypes.c_uint8)
+                pu64 = ctypes.POINTER(ctypes.c_uint64)
+                L.cobs_xxh64_batch.argtypes = [p8, i64, i64, u64, pu64]
+                L.cobs_xxh64_batch.restype = None
+                L.cobs_sequence_rows.argtypes = [
+                    p8, i64, i64, i64, u64, i32, pu64]
+                L.cobs_sequence_rows.restype = i32
+                L.cobs_window_rows.argtypes = [
+                    p8, i64, i64, i64, u64, i32, pu64]
+                L.cobs_window_rows.restype = i32
+                L.cobs_window_hashes.argtypes = [p8, i64, i64, i64, i32,
+                                                 pu64]
+                L.cobs_window_hashes.restype = i32
+                L.cobs_set_bits.argtypes = [p8, i64, pu64, i64, i64]
+                L.cobs_set_bits.restype = None
+                _lib = L
+            except OSError as e:
+                print(f"cobs_tpu: native load failed ({e}); "
+                      "using NumPy fallback", file=sys.stderr)
+        _tried = True
+        return _lib
+
+
+def _ptr8(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _ptr64(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def window_rows(windows, num_hashes: int, sig_size: int,
+                canonical: int):
+    """Native canonicalize+hash+mod over windows u8 [n, k].
+
+    Returns (rows u64 [n*num_hashes], all_good) or None if the native
+    library is unavailable.
+    """
+    import numpy as np
+
+    L = lib()
+    if L is None:
+        return None
+    windows = np.ascontiguousarray(windows, dtype=np.uint8)
+    n, k = windows.shape
+    out = np.empty(n * num_hashes, dtype=np.uint64)
+    good = L.cobs_window_rows(_ptr8(windows), n, k, num_hashes,
+                              sig_size, canonical, _ptr64(out))
+    return out, bool(good)
+
+
+def window_hashes(windows, num_hashes: int, canonical: int):
+    """Native canonicalize+hash (un-modded) -> u64 [n, num_hashes]."""
+    import numpy as np
+
+    L = lib()
+    if L is None:
+        return None
+    windows = np.ascontiguousarray(windows, dtype=np.uint8)
+    n, k = windows.shape
+    out = np.empty((n, num_hashes), dtype=np.uint64)
+    good = L.cobs_window_hashes(_ptr8(windows), n, k, num_hashes,
+                                canonical, _ptr64(out))
+    return out, bool(good)
+
+
+def set_bits(data, rows, doc_index: int):
+    """Native bit scatter; returns False if unavailable."""
+    import numpy as np
+
+    L = lib()
+    if L is None:
+        return False
+    rows = np.ascontiguousarray(rows, dtype=np.uint64)
+    assert data.flags.c_contiguous and data.dtype == np.uint8
+    L.cobs_set_bits(_ptr8(data), data.shape[1], _ptr64(rows),
+                    rows.size, doc_index)
+    return True

@@ -1,0 +1,232 @@
+// cobs_tpu native host runtime: the construction/query hashing hot path.
+//
+// The reference implements this layer in C++ too (term streaming ->
+// canonicalization -> XXH64 -> Bloom row indices -> bit set; reference:
+// cobs/construction/classic_index.cpp:39-73, cobs/util/query.cpp:143-199,
+// cobs/util/misc.hpp:65-72). This is a clean-room implementation: XXH64
+// from the public xxHash specification, canonicalization mirroring the
+// byte-map + truncated-half comparison semantics validated by the Python
+// kernels in cobs_tpu/core/.
+//
+// Exposed as a flat C ABI consumed via ctypes (no pybind11 in the image).
+// All entry points release the GIL implicitly (ctypes does), so a Python
+// thread pool over documents gets true parallelism.
+//
+// Build: cobs_tpu/native/__init__.py compiles this with g++ on first use.
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr uint64_t P1 = 0x9E3779B185EBCA87ULL;
+constexpr uint64_t P2 = 0xC2B2AE3D27D4EB4FULL;
+constexpr uint64_t P3 = 0x165667B19E3779F9ULL;
+constexpr uint64_t P4 = 0x85EBCA77C2B2AE63ULL;
+constexpr uint64_t P5 = 0x27D4EB2F165667C5ULL;
+
+inline uint64_t rotl(uint64_t x, int r) {
+    return (x << r) | (x >> (64 - r));
+}
+
+inline uint64_t read64(const uint8_t* p) {
+    uint64_t v;
+    std::memcpy(&v, p, 8);
+    return v;  // little-endian hosts only (x86-64 / aarch64)
+}
+
+inline uint32_t read32(const uint8_t* p) {
+    uint32_t v;
+    std::memcpy(&v, p, 4);
+    return v;
+}
+
+inline uint64_t xxh_round(uint64_t acc, uint64_t lane) {
+    return rotl(acc + lane * P2, 31) * P1;
+}
+
+inline uint64_t merge_round(uint64_t h, uint64_t acc) {
+    h ^= xxh_round(0, acc);
+    return h * P1 + P4;
+}
+
+uint64_t xxh64(const uint8_t* data, size_t len, uint64_t seed) {
+    const uint8_t* p = data;
+    const uint8_t* end = data + len;
+    uint64_t h;
+    if (len >= 32) {
+        uint64_t v1 = seed + P1 + P2;
+        uint64_t v2 = seed + P2;
+        uint64_t v3 = seed;
+        uint64_t v4 = seed - P1;
+        do {
+            v1 = xxh_round(v1, read64(p)); p += 8;
+            v2 = xxh_round(v2, read64(p)); p += 8;
+            v3 = xxh_round(v3, read64(p)); p += 8;
+            v4 = xxh_round(v4, read64(p)); p += 8;
+        } while (p + 32 <= end);
+        h = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18);
+        h = merge_round(h, v1);
+        h = merge_round(h, v2);
+        h = merge_round(h, v3);
+        h = merge_round(h, v4);
+    } else {
+        h = seed + P5;
+    }
+    h += static_cast<uint64_t>(len);
+    while (p + 8 <= end) {
+        h ^= xxh_round(0, read64(p));
+        h = rotl(h, 27) * P1 + P4;
+        p += 8;
+    }
+    if (p + 4 <= end) {
+        h ^= static_cast<uint64_t>(read32(p)) * P1;
+        h = rotl(h, 23) * P2 + P3;
+        p += 4;
+    }
+    while (p < end) {
+        h ^= static_cast<uint64_t>(*p) * P5;
+        h = rotl(h, 11) * P1;
+        ++p;
+    }
+    h ^= h >> 33;
+    h *= P2;
+    h ^= h >> 29;
+    h *= P3;
+    h ^= h >> 32;
+    return h;
+}
+
+struct Maps {
+    uint8_t fwd[256];
+    uint8_t rev[256];
+    Maps() {
+        std::memset(fwd, 0, sizeof(fwd));
+        std::memset(rev, 0, sizeof(rev));
+        fwd['A'] = 'A'; fwd['C'] = 'C'; fwd['G'] = 'G'; fwd['T'] = 'T';
+        rev['A'] = 'T'; rev['C'] = 'G'; rev['G'] = 'C'; rev['T'] = 'A';
+    }
+};
+const Maps kMaps;
+
+// Canonicalize one k-mer into `out` (k bytes). Mirrors
+// core/canonical.py: compare forward vs reverse complement over the
+// first floor(k/2) positions only; forward wins ties. Returns 1 iff all
+// letters were ACGT.
+inline int canonicalize(const uint8_t* kmer, int64_t k, uint8_t* out) {
+    int good = 1;
+    int use_reverse = 0;
+    const int64_t half = k / 2;
+    for (int64_t i = 0; i < half; ++i) {
+        uint8_t f = kMaps.fwd[kmer[i]];
+        uint8_t r = kMaps.rev[kmer[k - 1 - i]];
+        if (f != r) {
+            use_reverse = f > r;
+            break;
+        }
+    }
+    if (use_reverse) {
+        for (int64_t i = 0; i < k; ++i) {
+            uint8_t r = kMaps.rev[kmer[k - 1 - i]];
+            out[i] = r;
+            good &= (kMaps.fwd[kmer[k - 1 - i]] != 0);
+        }
+    } else {
+        for (int64_t i = 0; i < k; ++i) {
+            uint8_t f = kMaps.fwd[kmer[i]];
+            out[i] = f;
+            good &= (f != 0);
+        }
+    }
+    return good;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batched XXH64 of n equal-length byte strings for one seed.
+void cobs_xxh64_batch(const uint8_t* data, int64_t n, int64_t len,
+                      uint64_t seed, uint64_t* out) {
+    for (int64_t i = 0; i < n; ++i)
+        out[i] = xxh64(data + i * len, static_cast<size_t>(len), seed);
+}
+
+// The fused construction/query hot path over one sequence: slide a
+// k-window, canonicalize (optional), hash num_hashes seeds, mod by
+// sig_size. out_rows: [n_terms * num_hashes] u64 (term-major). Returns
+// 0 if any term contained a non-ACGT letter, else 1. n_terms =
+// seq_len - k + 1 (caller guarantees >= 1).
+int32_t cobs_sequence_rows(const uint8_t* seq, int64_t seq_len, int64_t k,
+                           int64_t num_hashes, uint64_t sig_size,
+                           int32_t canonical, uint64_t* out_rows) {
+    int all_good = 1;
+    uint8_t buf[256];
+    const int64_t n = seq_len - k + 1;
+    for (int64_t t = 0; t < n; ++t) {
+        const uint8_t* term = seq + t;
+        if (canonical) {
+            all_good &= canonicalize(term, k, buf);
+            term = buf;
+        }
+        for (int64_t j = 0; j < num_hashes; ++j)
+            out_rows[t * num_hashes + j] =
+                xxh64(term, static_cast<size_t>(k),
+                      static_cast<uint64_t>(j)) % sig_size;
+    }
+    return all_good;
+}
+
+// Same hot path over pre-extracted windows [n, k] (row-major) — the
+// drop-in native replacement for canonicalize_batch + xxh64_multi_seed.
+int32_t cobs_window_rows(const uint8_t* windows, int64_t n, int64_t k,
+                         int64_t num_hashes, uint64_t sig_size,
+                         int32_t canonical, uint64_t* out_rows) {
+    int all_good = 1;
+    uint8_t buf[256];
+    for (int64_t t = 0; t < n; ++t) {
+        const uint8_t* term = windows + t * k;
+        if (canonical) {
+            all_good &= canonicalize(term, k, buf);
+            term = buf;
+        }
+        for (int64_t j = 0; j < num_hashes; ++j)
+            out_rows[t * num_hashes + j] =
+                xxh64(term, static_cast<size_t>(k),
+                      static_cast<uint64_t>(j)) % sig_size;
+    }
+    return all_good;
+}
+
+// Raw (un-modded) hashes for the query path (hashes are modded per page
+// for compact indices): out [n * num_hashes] u64, term-major.
+int32_t cobs_window_hashes(const uint8_t* windows, int64_t n, int64_t k,
+                           int64_t num_hashes, int32_t canonical,
+                           uint64_t* out) {
+    int all_good = 1;
+    uint8_t buf[256];
+    for (int64_t t = 0; t < n; ++t) {
+        const uint8_t* term = windows + t * k;
+        if (canonical) {
+            all_good &= canonicalize(term, k, buf);
+            term = buf;
+        }
+        for (int64_t j = 0; j < num_hashes; ++j)
+            out[t * num_hashes + j] =
+                xxh64(term, static_cast<size_t>(k),
+                      static_cast<uint64_t>(j));
+    }
+    return all_good;
+}
+
+// OR document doc's bit into the byte matrix rows (LSB-first bit
+// layout, reference: cobs/construction/classic_index.cpp:40-43).
+void cobs_set_bits(uint8_t* data, int64_t row_size, const uint64_t* rows,
+                   int64_t n, int64_t doc) {
+    const uint8_t bit = static_cast<uint8_t>(1u << (doc & 7));
+    uint8_t* col = data + (doc >> 3);
+    for (int64_t i = 0; i < n; ++i)
+        col[rows[i] * row_size] |= bit;
+}
+
+}  // extern "C"

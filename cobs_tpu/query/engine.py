@@ -169,6 +169,10 @@ def create_hashes(queries: list[bytes], term_size: int, num_hashes: int,
                   canonicalize: int) -> list[np.ndarray]:
     """Per query: uint64 [num_terms, num_hashes] raw (un-modded) XXH64
     (reference: cobs/query/classic_search.cpp:66-107)."""
+    from cobs_tpu import native
+
+    if canonicalize not in (0, 1):
+        raise ValueError(f"Unknown canonicalize value {canonicalize}")
     out = []
     for q in queries:
         windows = sliding_windows(np.frombuffer(q, dtype=np.uint8),
@@ -177,13 +181,19 @@ def create_hashes(queries: list[bytes], term_size: int, num_hashes: int,
             raise ValueError(
                 f"query too short, needs to be at least {term_size} "
                 "characters long")
+        nat = native.window_hashes(windows, num_hashes, canonicalize)
+        if nat is not None:
+            hashes, good_all = nat
+            if canonicalize == 1 and not good_all:
+                raise ValueError("Invalid DNA base pair in query string. "
+                                 "Only ACGT are allowed.")
+            out.append(hashes)
+            continue
         if canonicalize == 1:
             windows, good = canonicalize_batch(windows)
             if not good.all():
                 raise ValueError("Invalid DNA base pair in query string. "
                                  "Only ACGT are allowed.")
-        elif canonicalize != 0:
-            raise ValueError(f"Unknown canonicalize value {canonicalize}")
         out.append(xxh64_multi_seed(np.ascontiguousarray(windows),
                                     num_hashes))
     return out

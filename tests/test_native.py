@@ -1,0 +1,113 @@
+"""Native C++ host runtime vs the NumPy reference kernels (bit-exact)."""
+
+import numpy as np
+import pytest
+
+from cobs_tpu import native
+from cobs_tpu.core.canonical import canonicalize_batch
+from cobs_tpu.core.xxh64 import xxh64, xxh64_multi_seed
+
+pytestmark = pytest.mark.skipif(native.lib() is None,
+                                reason="native library unavailable")
+
+
+def _random_windows(rng, n, k, alphabet=b"ACGT"):
+    a = np.frombuffer(alphabet, np.uint8)
+    return a[rng.integers(0, len(a), size=(n, k))]
+
+
+@pytest.mark.parametrize("length", [0, 1, 3, 4, 7, 8, 15, 31, 32, 33,
+                                    63, 64, 100])
+def test_xxh64_batch_matches_numpy(rng, length):
+    import ctypes
+    data = rng.integers(0, 256, size=(17, max(length, 1)),
+                        dtype=np.uint8)[:, :length]
+    data = np.ascontiguousarray(data)
+    for seed in (0, 1, 0xDEADBEEF):
+        out = np.empty(17, dtype=np.uint64)
+        native.lib().cobs_xxh64_batch(
+            data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            17, length, seed,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+        want = xxh64(data, seed)
+        np.testing.assert_array_equal(out, want)
+
+
+@pytest.mark.parametrize("canonical", [0, 1])
+@pytest.mark.parametrize("k", [4, 19, 31])
+def test_window_rows_matches_numpy(rng, canonical, k):
+    windows = _random_windows(rng, 500, k)
+    sig, h = 99991, 3
+    rows, good = native.window_rows(windows, h, sig, canonical)
+    cw, goodv = (canonicalize_batch(windows) if canonical
+                 else (windows, np.ones(500, bool)))
+    want = (xxh64_multi_seed(np.ascontiguousarray(cw), h)
+            % np.uint64(sig)).ravel()
+    np.testing.assert_array_equal(rows, want)
+    assert good == bool(goodv.all())
+
+
+def test_window_rows_invalid_letters(rng):
+    windows = _random_windows(rng, 50, 31, alphabet=b"ACGTN")
+    assert (windows == ord("N")).any()
+    rows, good = native.window_rows(windows, 1, 1 << 20, 1)
+    assert not good
+    cw, _ = canonicalize_batch(windows)
+    want = (xxh64_multi_seed(np.ascontiguousarray(cw), 1)
+            % np.uint64(1 << 20)).ravel()
+    np.testing.assert_array_equal(rows, want)
+
+
+def test_window_hashes_matches_numpy(rng):
+    windows = _random_windows(rng, 300, 31)
+    hashes, good = native.window_hashes(windows, 2, 1)
+    cw, _ = canonicalize_batch(windows)
+    want = xxh64_multi_seed(np.ascontiguousarray(cw), 2)
+    np.testing.assert_array_equal(hashes, want)
+    assert good
+
+
+def test_set_bits_matches_numpy(rng):
+    sig, row_size = 997, 13
+    data = np.zeros((sig, row_size), dtype=np.uint8)
+    for doc in [0, 7, 8, 63, 100]:
+        rows = rng.integers(0, sig, size=200).astype(np.uint64)
+        assert native.set_bits(data, rows, doc)
+        want_rows = np.unique(rows)
+        col = data[:, doc >> 3]
+        bit = np.uint8(1 << (doc & 7))
+        assert ((col[want_rows.astype(np.int64)] & bit) == bit).all()
+    # no bits outside the touched columns (docs hit bytes 0, 1, 7, 12)
+    assert (data[:, [2, 3, 4, 5, 6, 8, 9, 10, 11]] == 0).all()
+
+
+def test_end_to_end_equivalence_native_vs_fallback(tmp_path, monkeypatch):
+    """The same corpus must produce byte-identical indices with and
+    without the native library."""
+    import shutil
+    from pathlib import Path
+
+    import cobs_tpu
+    from cobs_tpu.settings import settings
+
+    DATA = Path(__file__).parent / "data"
+    settings.disable_cache = True
+    try:
+        outs = []
+        for tag in ("native", "fallback"):
+            d = tmp_path / tag
+            shutil.copytree(DATA / "fasta", d / "fasta")
+            if tag == "fallback":
+                monkeypatch.setattr(native, "_lib", None)
+                monkeypatch.setattr(native, "_tried", True)
+            idx = d / "x.cobs_classic"
+            cobs_tpu.classic_construct(
+                cobs_tpu.DocumentList(d / "fasta"), idx,
+                index_params=cobs_tpu.ClassicIndexParameters(clobber=True))
+            outs.append(idx.read_bytes())
+        assert outs[0] == outs[1]
+    finally:
+        settings.disable_cache = False
+        monkeypatch.undo()
+        native._tried = False
+        native._lib = None
