@@ -23,9 +23,9 @@ class Settings:
 settings = Settings()
 
 
-def disable_cache() -> None:
+def disable_cache(disable: bool = True) -> None:
     """Disable reading/writing of document index cache files.
 
     Mirrors `cobs_index.disable_cache()` (reference: python/module.cpp:389-394).
     """
-    settings.disable_cache = True
+    settings.disable_cache = disable
