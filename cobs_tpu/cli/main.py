@@ -253,7 +253,14 @@ def cmd_query(argv):
                         "matching, default: 0.8")
     p.add_argument("-l", "--limit", type=int, default=0,
                    help="number of results to return, default: all")
-    p.add_argument("--load-complete", action="store_true")
+    p.add_argument("--load-complete", action="store_true",
+                   help="force the whole index into device HBM")
+    p.add_argument("--streamed", action="store_true",
+                   help="force the host-mmap backend (index larger "
+                        "than device HBM)")
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="shard the index over the first N devices "
+                        "(document-axis tensor parallelism)")
     _add_threads_flag(p)
     args = p.parse_args(argv)
     _apply_threads(args)
@@ -262,7 +269,14 @@ def cmd_query(argv):
         settings.load_complete_index = True
 
     import cobs_tpu
-    s = cobs_tpu.Search(args.index)
+    mesh = None
+    if args.mesh:
+        from cobs_tpu.parallel.sharded import make_mesh
+        import jax
+        mesh = make_mesh(n_batch=1, n_docs=args.mesh,
+                         devices=jax.devices()[:args.mesh])
+    s = cobs_tpu.Search(args.index, mesh=mesh,
+                        streamed=True if args.streamed else None)
 
     if args.query:
         for res in s.search(args.query, args.threshold, args.limit):

@@ -257,3 +257,136 @@ def score_batch(index: DeviceIndex, hashes_list: list[np.ndarray],
     if P == 1:
         return scores[:, :docs]
     return scores.reshape(B, P, W32)[:, :, :docs].reshape(B, P * docs)
+
+
+class StreamedIndex:
+    """Host-resident (memory-mapped) index backend.
+
+    The TPU analog of the reference's mmap search files
+    (reference: cobs/query/classic_index/mmap_search_file.cpp:27-40,
+    compact_index/mmap_search_file.cpp:34-67): the payload stays on disk
+    and only the Bloom rows a query batch actually touches are read
+    (through the OS page cache) and uploaded, so indexes far larger than
+    device HBM remain queryable. The device still does the AND +
+    popcount-accumulate on the gathered rows.
+    """
+
+    def __init__(self, path):
+        path = Path(path)
+        self.path = str(path)
+        if fmt_classic.is_classic_file(path):
+            with open(path, "rb") as f:
+                h = fmt_classic.ClassicIndexHeader.deserialize(f)
+                off = f.tell()
+            self.term_size = h.term_size
+            self.canonicalize = h.canonicalize
+            self.num_hashes = h.num_hashes
+            self.page_size = h.row_size
+            self.file_names = h.file_names
+            self._row_bytes = h.row_size
+            self._mms = [np.memmap(path, dtype=np.uint8, mode="r",
+                                   offset=off,
+                                   shape=(h.signature_size, h.row_size))]
+            self.sig_sizes = np.asarray([h.signature_size],
+                                        dtype=np.uint64)
+        elif fmt_compact.is_compact_file(path):
+            h, off = fmt_compact.read_compact_header(path)
+            if not h.parameters:
+                raise FileIOError("compact index has no pages")
+            num_hashes = h.parameters[0].num_hashes
+            for p in h.parameters:
+                if p.num_hashes != num_hashes:
+                    raise FileIOError("compact index with non-uniform "
+                                      "num_hashes unsupported")
+            self.term_size = h.term_size
+            self.canonicalize = h.canonicalize
+            self.num_hashes = num_hashes
+            self.page_size = h.page_size
+            self.file_names = h.file_names
+            self._row_bytes = h.page_size
+            self._mms = []
+            for p in h.parameters:
+                self._mms.append(np.memmap(
+                    path, dtype=np.uint8, mode="r", offset=off,
+                    shape=(p.signature_size, h.page_size)))
+                off += p.signature_size * h.page_size
+            self.sig_sizes = np.asarray(
+                [p.signature_size for p in h.parameters], dtype=np.uint64)
+        else:
+            raise FileIOError(f'Could not open index path "{path}"')
+        self.word_width = _pad_words(-(-self._row_bytes // 4))
+        offs = np.zeros(len(self._mms), dtype=np.int64)
+        acc = 0
+        for i, mm in enumerate(self._mms):
+            offs[i] = acc
+            acc += mm.shape[0]
+        self.row_offsets = offs
+        self.total_rows = acc
+
+    @property
+    def num_pages(self) -> int:
+        return len(self._mms)
+
+    @property
+    def docs_per_page(self) -> int:
+        return 8 * self.page_size
+
+    @property
+    def counts_size(self) -> int:
+        return 8 * self.page_size * self.num_pages
+
+    def row_indices(self, hashes: np.ndarray) -> np.ndarray:
+        """uint64 [T, h] -> global row ids int64 [T, h, P]."""
+        return (hashes[:, :, None] % self.sig_sizes[None, None, :]
+                + self.row_offsets[None, None, :].astype(np.uint64)) \
+            .astype(np.int64)
+
+    def score_batch(self, hashes_list, timer: Timer | None = None
+                    ) -> np.ndarray:
+        """int32 [B, counts_size]; exact same contract as score_batch."""
+        B = len(hashes_list)
+        T_max = _bucket(max(h.shape[0] for h in hashes_list))
+        P = self.num_pages
+        h = self.num_hashes
+        zero_id = self.total_rows  # virtual all-zero row
+
+        rows_idx = np.full((B, T_max, h, P), zero_id, dtype=np.int64)
+        for b, hs in enumerate(hashes_list):
+            rows_idx[b, :hs.shape[0]] = self.row_indices(hs)
+
+        if timer:
+            timer.active("io")
+        uniq, inv = np.unique(rows_idx, return_inverse=True)
+        W = self.word_width
+        gathered = np.zeros((uniq.size + 1, W * 4), dtype=np.uint8)
+        bounds = np.searchsorted(uniq, np.append(self.row_offsets[1:],
+                                                 zero_id))
+        start = 0
+        for p, mm in enumerate(self._mms):
+            end = bounds[p]
+            if end > start:
+                local = (uniq[start:end]
+                         - self.row_offsets[p]).astype(np.int64)
+                gathered[start:end, :self._row_bytes] = mm[local]
+            start = end
+        # rows in uniq beyond the last page bound (the zero id) stay 0
+        gmat = jnp.asarray(
+            np.ascontiguousarray(gathered).view("<u4"))
+        remapped = inv.reshape(rows_idx.shape).astype(np.int32)
+        # padding/zero rows map to positions >= bounds[-1], all zero —
+        # but _gather_and_count's zero row is the LAST row; remap those
+        # to it for clarity (they are zero either way).
+        if timer:
+            timer.stop()
+            timer.active("and rows")
+        scores = _gather_and_count(gmat, jnp.asarray(remapped), h)
+        scores = np.asarray(jax.block_until_ready(scores))
+        if timer:
+            timer.stop()
+
+        W32 = W * 32
+        docs = self.docs_per_page
+        if P == 1:
+            return scores[:, :docs]
+        return scores.reshape(B, P, W32)[:, :, :docs] \
+            .reshape(B, P * docs)

@@ -18,8 +18,35 @@ import math
 
 import numpy as np
 
-from cobs_tpu.query.engine import DeviceIndex, create_hashes, score_batch
+from cobs_tpu.query.engine import (
+    DeviceIndex,
+    StreamedIndex,
+    create_hashes,
+    score_batch,
+)
+from cobs_tpu.settings import settings
 from cobs_tpu.utils.timer import Timer
+
+
+def _open_index(path, streamed):
+    """Pick the backend for an index path.
+
+    streamed=True forces the host-mmap backend; False forces full load
+    into device HBM (the reference's --load-complete); None auto-selects:
+    load to HBM when the payload fits the device budget, else stream
+    (the reference's default-mmap behavior adapted to the TPU memory
+    hierarchy).
+    """
+    if streamed is None:
+        if settings.load_complete_index:
+            streamed = False
+        else:
+            import os
+
+            streamed = (os.path.getsize(path)
+                        > settings.max_device_index_bytes)
+    return (StreamedIndex(path) if streamed
+            else DeviceIndex.from_file(path))
 
 
 @dataclasses.dataclass
@@ -42,12 +69,30 @@ class Search:
     cobs/query/classic_search.cpp:413-435).
     """
 
-    def __init__(self, indices):
+    def __init__(self, indices, mesh=None, streamed=None):
+        """mesh: optional jax.sharding.Mesh with ("batch", "docs") axes;
+        when given, every index is document-sharded across the mesh and
+        queries are scored with the shard_map engine (see
+        cobs_tpu/parallel/sharded.py). Single-chip is the default.
+
+        streamed: True = host-mmap backend (index larger than HBM),
+        False = force full HBM residence, None = auto by size.
+        """
         if not isinstance(indices, (list, tuple)):
             indices = [indices]
-        self.index_files: list[DeviceIndex] = [
-            ix if isinstance(ix, DeviceIndex) else DeviceIndex.from_file(ix)
+        self.index_files = [
+            ix if isinstance(ix, (DeviceIndex, StreamedIndex))
+            else _open_index(ix, streamed)
             for ix in indices]
+        self._sharded = None
+        if mesh is not None:
+            from cobs_tpu.parallel.sharded import ShardedIndex
+            for ix in self.index_files:
+                if isinstance(ix, StreamedIndex):
+                    raise ValueError(
+                        "sharded meshes require device-resident indices")
+            self._sharded = [ShardedIndex(ix, mesh)
+                             for ix in self.index_files]
         self.timer_ = Timer()
 
     def timer(self) -> Timer:
@@ -75,12 +120,22 @@ class Search:
         B = len(qbytes)
         per_index_scores = []
         thresholds = []
-        for ix in self.index_files:
+        for k, ix in enumerate(self.index_files):
             self.timer_.active("hashes")
             hashes = create_hashes(
                 qbytes, ix.term_size, ix.num_hashes, ix.canonicalize)
             self.timer_.stop()
-            per_index_scores.append(score_batch(ix, hashes, self.timer_))
+            if self._sharded is not None:
+                self.timer_.active("io")
+                per_index_scores.append(
+                    self._sharded[k].score_batch(hashes))
+                self.timer_.stop()
+            elif isinstance(ix, StreamedIndex):
+                per_index_scores.append(
+                    ix.score_batch(hashes, self.timer_))
+            else:
+                per_index_scores.append(
+                    score_batch(ix, hashes, self.timer_))
             thresholds.append([
                 math.ceil(threshold * (len(q) - ix.term_size + 1))
                 for q in qbytes])

@@ -18,6 +18,10 @@ class Settings:
     load_complete_index: bool = False
     #! disable creation of .cobs_cache document index caches
     disable_cache: bool = False
+    #! indices with payloads larger than this stream from host mmap
+    #! instead of residing fully in device HBM
+    max_device_index_bytes: int = int(os.environ.get(
+        "COBS_TPU_DEVICE_INDEX_BYTES", 8 << 30))
 
 
 settings = Settings()

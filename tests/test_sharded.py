@@ -129,3 +129,16 @@ def test_train_step_scatter_then_query(rng):
     mask = np.ones(W * 32, bool)
     mask[[7, 200]] = False
     assert (s[:, mask] == 0).all()
+
+
+def test_search_with_mesh_matches_single_chip(classic_index):
+    """Search(mesh=...) returns identical ranked results."""
+    from cobs_tpu.query.search import Search
+    mesh = make_mesh(n_batch=2, n_docs=4)
+    s1 = Search(str(classic_index))
+    s2 = Search(str(classic_index), mesh=mesh)
+    for threshold in (0.0, 0.8):
+        r1 = s1.search(GOLDEN_QUERY, threshold)
+        r2 = s2.search(GOLDEN_QUERY, threshold)
+        assert [(r.doc_name, r.score) for r in r1] == \
+            [(r.doc_name, r.score) for r in r2]

@@ -1,0 +1,80 @@
+"""Host-mmap streamed backend vs the HBM-resident engine (bit-exact)."""
+
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import cobs_tpu
+from cobs_tpu.query.engine import (
+    DeviceIndex,
+    StreamedIndex,
+    create_hashes,
+    score_batch,
+)
+from cobs_tpu.query.search import Search
+from cobs_tpu.settings import settings
+
+DATA = Path(__file__).parent / "data"
+GOLDEN_QUERY = "AGTCAACGCTAAGGCATTTCCCCCCTGCCTCCTGCCTGCTGCCAAGCCCT"
+
+
+@pytest.fixture(autouse=True)
+def _no_cache():
+    settings.disable_cache = True
+    yield
+    settings.disable_cache = False
+
+
+@pytest.fixture()
+def fasta_dir(tmp_path):
+    d = tmp_path / "fasta"
+    shutil.copytree(DATA / "fasta", d)
+    return d
+
+
+def _mk(tmp_path, fasta_dir, kind):
+    idx = tmp_path / f"t.cobs_{kind}"
+    dl = cobs_tpu.DocumentList(fasta_dir)
+    if kind == "classic":
+        cobs_tpu.classic_construct(
+            dl, idx,
+            index_params=cobs_tpu.ClassicIndexParameters(clobber=True))
+    else:
+        cobs_tpu.compact_construct(
+            dl, idx,
+            index_params=cobs_tpu.CompactIndexParameters(clobber=True))
+    return idx
+
+
+@pytest.mark.parametrize("kind", ["classic", "compact"])
+def test_streamed_scores_match_device(tmp_path, fasta_dir, kind):
+    idx = _mk(tmp_path, fasta_dir, kind)
+    dev = DeviceIndex.from_file(idx)
+    st = StreamedIndex(idx)
+    queries = [GOLDEN_QUERY.encode(), GOLDEN_QUERY[3:].encode()]
+    hashes = create_hashes(queries, dev.term_size, dev.num_hashes,
+                           dev.canonicalize)
+    np.testing.assert_array_equal(st.score_batch(hashes),
+                                  score_batch(dev, hashes))
+
+
+def test_search_streamed_golden(tmp_path, fasta_dir):
+    idx = _mk(tmp_path, fasta_dir, "classic")
+    s = Search(str(idx), streamed=True)
+    assert isinstance(s.index_files[0], StreamedIndex)
+    r = s.search(GOLDEN_QUERY)
+    assert (r[0].doc_name, r[0].score) == ("sample1", 20)
+    assert len(r) == 7
+
+
+def test_search_auto_streams_large_indices(tmp_path, fasta_dir,
+                                           monkeypatch):
+    idx = _mk(tmp_path, fasta_dir, "classic")
+    monkeypatch.setattr(settings, "max_device_index_bytes", 10)
+    s = Search(str(idx))
+    assert isinstance(s.index_files[0], StreamedIndex)
+    monkeypatch.setattr(settings, "load_complete_index", True)
+    s = Search(str(idx))
+    assert isinstance(s.index_files[0], DeviceIndex)
