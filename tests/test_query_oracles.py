@@ -1,0 +1,137 @@
+"""Reference query-invariant oracles over synthetic .cobs_doc corpora
+(reference: tests/classic_index_query.cpp, tests/test_util.hpp:42-102).
+
+Fixtures mirror the reference's generators:
+- generate_documents_all: every canonicalized query k-mer i lands in
+  documents j with j % (i % (n-1) + 1) == 0;
+- generate_documents_one: only the query's FIRST k-mer, document i
+  contains it 10*i+1 times (duplicates must not inflate the score).
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import cobs_tpu
+from cobs_tpu.core.canonical import canonicalize_batch
+from cobs_tpu.core.kmer import encode
+from cobs_tpu.fmt.kmer_buffer import write_kmer_buffer
+from cobs_tpu.ingest.util import pad_index, sliding_windows
+from cobs_tpu.query.search import Search
+from cobs_tpu.settings import settings
+from cobs_tpu.utils.misc import random_sequence
+
+K = 31
+QUERY = random_sequence(50000, 2)
+
+
+@pytest.fixture(autouse=True)
+def _no_cache():
+    settings.disable_cache = True
+    yield
+    settings.disable_cache = False
+
+
+def _canon_kmers(query: str) -> np.ndarray:
+    windows = sliding_windows(
+        np.frombuffer(query.encode(), np.uint8), K)
+    canon, good = canonicalize_batch(windows)
+    assert good.all()
+    return canon
+
+
+def generate_documents_all(query, num_documents=33, num_terms=1000000,
+                           out_dir=None):
+    canon = _canon_kmers(query)[: min(num_terms, len(query) - K)]
+    packed = encode(canon)
+    docs = [[] for _ in range(num_documents)]
+    for i in range(canon.shape[0]):
+        step = i % (num_documents - 1) + 1
+        for j in range(0, num_documents, step):
+            docs[j].append(i)
+    sizes = []
+    for j, rows in enumerate(docs):
+        name = "document_" + pad_index(j)
+        write_kmer_buffer(out_dir / (name + ".cobs_doc"), name, K,
+                          packed[rows])
+        sizes.append(len(rows))
+    return sizes
+
+
+def generate_documents_one(query, num_documents=33, out_dir=None,
+                           prefix=""):
+    packed = encode(_canon_kmers(query)[:1])
+    for i in range(num_documents):
+        name = prefix + "document_" + pad_index(i)
+        write_kmer_buffer(out_dir / (name + ".cobs_doc"), name, K,
+                          np.repeat(packed, 10 * i + 1, axis=0))
+
+
+def _construct(input_dir, index_path):
+    p = cobs_tpu.ClassicIndexParameters(
+        num_hashes=3, false_positive_rate=0.1, canonicalize=1,
+        clobber=True)
+    cobs_tpu.classic_construct(cobs_tpu.DocumentList(input_dir),
+                               index_path, index_params=p)
+
+
+def test_all_included_small_batch(tmp_path):
+    input_dir = tmp_path / "input"
+    input_dir.mkdir()
+    sizes = generate_documents_all(QUERY, out_dir=input_dir)
+    index_path = tmp_path / "index.cobs_classic"
+    _construct(input_dir, index_path)
+    result = Search(str(index_path)).search(QUERY)
+    assert len(result) == len(sizes)
+    for r in result:
+        index = int(r.doc_name[-2:])
+        assert r.score >= sizes[index]
+
+
+def test_one_included_small_batch(tmp_path):
+    input_dir = tmp_path / "input"
+    input_dir.mkdir()
+    generate_documents_one(QUERY, num_documents=2000, out_dir=input_dir)
+    index_path = tmp_path / "index.cobs_classic"
+    _construct(input_dir, index_path)
+    result = Search(str(index_path)).search(QUERY)
+    assert len(result) == 2000
+    assert all(r.score == 1 for r in result)
+
+
+def test_false_positive_bound(tmp_path):
+    """<= 1070 positive scores per document over 10,000 random 31-mers
+    (reference: tests/classic_index_query.cpp:113-146)."""
+    input_dir = tmp_path / "input"
+    input_dir.mkdir()
+    generate_documents_all(QUERY, out_dir=input_dir)
+    index_path = tmp_path / "index.cobs_classic"
+    _construct(input_dir, index_path)
+    s = Search(str(index_path))
+
+    queries = [random_sequence(31, i) for i in range(10000)]
+    num_positive = {}
+    for results in s.search_batch(queries):
+        for r in results:
+            assert r.score in (0, 1)
+            num_positive[r.doc_name] = \
+                num_positive.get(r.doc_name, 0) + r.score
+    assert all(v <= 1070 for v in num_positive.values())
+
+
+def test_one_included_multi_index_federation(tmp_path):
+    """33+44+55-document indices federated in one search
+    (reference: tests/classic_index_query.cpp:156-197)."""
+    paths = []
+    for n in (33, 44, 55):
+        input_dir = tmp_path / f"input{n}"
+        input_dir.mkdir()
+        generate_documents_one(QUERY, num_documents=n,
+                               out_dir=input_dir, prefix=f"i{n}_")
+        index_path = tmp_path / f"index{n}.cobs_classic"
+        _construct(input_dir, index_path)
+        paths.append(str(index_path))
+    result = Search(paths).search(QUERY)
+    assert len(result) == 33 + 44 + 55
+    assert all(r.score == 1 for r in result)
