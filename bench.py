@@ -60,9 +60,13 @@ def main() -> None:
           f"W={W} B={B} T={T}", file=sys.stderr)
 
     rng = np.random.default_rng(0xC0B5)
-    matrix = jnp.asarray(rng.integers(
-        0, 1 << 32, size=(sig_size + 1, W), dtype=np.uint64)
-        .astype(np.uint32)).at[-1].set(0)
+    # random index generated on device (no multi-GB host transfer)
+    key = jax.random.key(0xC0B5)
+    matrix = jax.jit(
+        lambda k: jax.random.bits(
+            k, (sig_size + 1, W), dtype=jnp.uint32).at[-1].set(0)
+    )(key)
+    jax.block_until_ready(matrix)
 
     from cobs_tpu.query.engine import _gather_and_count
 

@@ -135,3 +135,54 @@ def test_one_included_multi_index_federation(tmp_path):
     result = Search(paths).search(QUERY)
     assert len(result) == 33 + 44 + 55
     assert all(r.score == 1 for r in result)
+
+
+def test_classic_combine_ten_indices(tmp_path):
+    """Construct 10 small indices, hierarchically combine, then every
+    source k-mer must find its document
+    (reference: tests/classic_index_construction.cpp:95-152)."""
+    from cobs_tpu.construct.classic import classic_combine
+    from cobs_tpu.core.kmer import decode
+
+    index_dir = tmp_path / "index"
+    index_dir.mkdir()
+    doc_sets = []
+    for ds in range(10):
+        query = random_sequence(10000, ds + 1)
+        input_dir = tmp_path / "input" / pad_index(ds)
+        input_dir.mkdir(parents=True)
+        canon = _canon_kmers(query)[:100]
+        packed = encode(canon)
+        docs = [[] for _ in range(3)]
+        for i in range(canon.shape[0]):
+            step = i % 2 + 1
+            for j in range(0, 3, step):
+                docs[j].append(i)
+        kept = []
+        for j, rows in enumerate(docs):
+            name = f"set_{pad_index(ds)}_document_{pad_index(j)}"
+            write_kmer_buffer(input_dir / (name + ".cobs_doc"), name, K,
+                              packed[rows])
+            kept.append(canon[rows])
+        doc_sets.append(kept)
+        p = cobs_tpu.ClassicIndexParameters(
+            num_hashes=3, false_positive_rate=0.1, clobber=True)
+        cobs_tpu.classic_construct(
+            cobs_tpu.DocumentList(input_dir),
+            index_dir / (pad_index(ds) + ".cobs_classic"),
+            index_params=p)
+
+    done, result_file = classic_combine(
+        index_dir, tmp_path / "combined", 128 * 1024 * 1024, 4, False)
+    assert done and result_file is not None
+
+    s = Search(str(result_file))
+    queries, expected = [], []
+    for ds in range(10):
+        for d, kmers in enumerate(doc_sets[ds]):
+            for kmer in np.unique(kmers, axis=0)[:10]:
+                queries.append(kmer.tobytes().decode())
+                expected.append(
+                    f"set_{pad_index(ds)}_document_{pad_index(d)}")
+    for results, want in zip(s.search_batch(queries), expected):
+        assert any(r.doc_name == want and r.score > 0 for r in results)
