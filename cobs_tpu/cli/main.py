@@ -519,6 +519,32 @@ def cmd_generate_queries(argv):
 
 # ------------------------------------------------------------------ driver
 
+
+
+def cmd_benchmark_scaling(argv):
+    p = argparse.ArgumentParser(prog="cobs benchmark-scaling")
+    p.add_argument("-n", "--num-devices", type=int, default=0,
+                   help="devices to scale to (default: all)")
+    p.add_argument("--docs-per-shard", type=int, default=4096)
+    p.add_argument("--sig-size", type=int, default=1 << 18)
+    p.add_argument("-b", "--batch", type=int, default=16)
+    p.add_argument("--num-kmers", type=int, default=1000)
+    p.add_argument("--iterations", type=int, default=10)
+    args = p.parse_args(argv)
+
+    from cobs_tpu.parallel.benchmark import benchmark_scaling
+    r = benchmark_scaling(
+        n_devices=args.num_devices or None,
+        sig_size=args.sig_size, docs_per_shard=args.docs_per_shard,
+        B=args.batch, T=args.num_kmers, iters=args.iterations)
+    for n, qps in sorted(r["per_n"].items()):
+        print(f"RESULT devices={n} queries_per_s={qps:.1f} "
+              f"docs_per_query={n * args.docs_per_shard}")
+    if r["efficiency"] is not None:
+        print(f"RESULT weak_scaling_efficiency={r['efficiency']:.3f}")
+    return 0
+
+
 SUBTOOLS = {
     "doc-list": (cmd_doc_list, "read a list of documents and print them"),
     "doc-dump": (cmd_doc_dump, "read a list of documents and dump their "
@@ -538,6 +564,8 @@ SUBTOOLS = {
                          "print index parameters for a given configuration"),
     "print-kmers": (cmd_print_kmers,
                     "print canonicalized k-mers of a query"),
+    "benchmark-scaling": (cmd_benchmark_scaling,
+                          "measure multi-device weak-scaling efficiency"),
     "benchmark-fpr": (cmd_benchmark_fpr,
                       "run a false-positive-rate benchmark"),
     "generate-queries": (cmd_generate_queries,

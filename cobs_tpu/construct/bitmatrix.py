@@ -59,20 +59,46 @@ def set_bits(data: np.ndarray, rows: np.ndarray, doc_index: int) -> None:
 
 def build_batch_matrix(entries, signature_size: int, row_size: int,
                        term_size: int, num_hashes: int, canonicalize: int,
-                       warn) -> np.ndarray:
+                       warn, num_threads: int = 0) -> np.ndarray:
     """Construct the bit matrix for one batch of documents.
+
+    Parallelizes over groups of 8 documents — one byte column each, so
+    worker threads never write the same byte (the reference's
+    false-sharing-free scheme, reference:
+    cobs/construction/classic_index.cpp:96-118). The native hashing
+    kernels release the GIL, so Python threads give real parallelism.
 
     Returns uint8 [signature_size, row_size].
     """
+    import concurrent.futures
+
+    from cobs_tpu.settings import settings
+
     data = np.zeros((signature_size, row_size), dtype=np.uint8)
-    for doc_index, entry in enumerate(entries):
-        shown_warning = False
-        for windows in entry.term_windows(term_size):
-            rows, good = doc_row_indices(
-                windows, signature_size, num_hashes, canonicalize)
-            if not good and not shown_warning:
-                warn(f"WARNING: Invalid DNA base pair (not ACGT) "
-                     f"in document: {entry.path}")
-                shown_warning = True
-            set_bits(data, rows, doc_index)
+
+    def do_octet(start: int) -> list[str]:
+        warned = []
+        for doc_index in range(start, min(start + 8, len(entries))):
+            entry = entries[doc_index]
+            shown_warning = False
+            for windows in entry.term_windows(term_size):
+                rows, good = doc_row_indices(
+                    windows, signature_size, num_hashes, canonicalize)
+                if not good and not shown_warning:
+                    warned.append(str(entry.path))
+                    shown_warning = True
+                set_bits(data, rows, doc_index)
+        return warned
+
+    octets = range(0, len(entries), 8)
+    workers = num_threads or settings.threads or 1
+    if workers > 1 and len(entries) > 8:
+        with concurrent.futures.ThreadPoolExecutor(workers) as pool:
+            warned_lists = list(pool.map(do_octet, octets))
+    else:
+        warned_lists = [do_octet(o) for o in octets]
+    for warned in warned_lists:
+        for path in warned:
+            warn(f"WARNING: Invalid DNA base pair (not ACGT) "
+                 f"in document: {path}")
     return data

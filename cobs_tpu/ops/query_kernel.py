@@ -24,8 +24,15 @@ carry-save adder network:
   amortized over 128 terms instead of paid per term.
 
 Per term that is ~8 packed-vector ops versus ~100 for the naive
-expansion, so the loop stays gather-bandwidth-bound (the roofline the
-design targets, see BASELINE.md).
+expansion.
+
+Status: the production engine uses the XLA path (jnp.take gather +
+packed Wallace-tree counting, cobs_tpu/query/engine.py) — measured
+faster on hardware because XLA's native gather outruns row-granular
+BlockSpec DMA, whose per-row issue cost dominates at 1.5 KB rows. This
+kernel is kept as the fused single-pass alternative (bit-exact, tested
+compiled and in interpret mode) and as the substrate for future
+DMA-batching work.
 """
 
 import functools

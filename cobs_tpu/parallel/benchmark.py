@@ -1,0 +1,77 @@
+"""Scaling-efficiency benchmark over a device mesh.
+
+Measures batched query throughput on 1 shard vs N shards of the
+document-axis-sharded signature matrix (the BASELINE.md target is
+>= 85% efficiency from 1 to N). On a single-host run this exercises the
+same shard_map program multi-host deployments compile; with
+`jax.distributed` initialized the mesh spans hosts and the identical
+code path rides ICI/DCN.
+"""
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cobs_tpu.parallel.sharded import make_mesh, score_sharded
+
+
+def _bench_mesh(n_devices: int, sig_size: int, W_per_shard: int,
+                B: int, T: int, num_hashes: int, iters: int) -> float:
+    """Queries/s with the matrix sharded over n_devices."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(n_batch=1, n_docs=n_devices,
+                     devices=jax.devices()[:n_devices])
+    W = W_per_shard * n_devices
+    key = jax.random.key(7)
+    matrix = jax.jit(
+        lambda k: jax.random.bits(
+            k, (sig_size + 1, W), dtype=jnp.uint32).at[-1].set(0),
+        out_shardings=NamedSharding(mesh, P(None, "docs")))(key)
+    jax.block_until_ready(matrix)
+
+    rng = np.random.default_rng(3)
+    bufs = [jax.device_put(
+        rng.integers(0, sig_size, size=(B, T, num_hashes, 1))
+        .astype(np.int32),
+        NamedSharding(mesh, P("batch", None, None, None)))
+        for _ in range(4)]
+    jax.block_until_ready(
+        score_sharded(mesh, matrix, bufs[0], num_hashes))
+
+    t0 = time.perf_counter()
+    outs = []
+    for i in range(iters):
+        outs.append(score_sharded(mesh, matrix, bufs[i % 4],
+                                  num_hashes))
+        if len(outs) > 4:
+            jax.block_until_ready(outs.pop(0))
+    jax.block_until_ready(outs)
+    return iters * B / (time.perf_counter() - t0)
+
+
+def benchmark_scaling(n_devices: int | None = None,
+                      sig_size: int = 1 << 18, docs_per_shard: int = 4096,
+                      B: int = 16, T: int = 1000, num_hashes: int = 1,
+                      iters: int = 10) -> dict:
+    """Weak-scaling sweep 1..n devices (docs per shard held constant).
+
+    Returns {"per_n": {n: qps}, "efficiency": qps_N/(N*qps_1)}.
+    Weak scaling is the deployment regime: corpora grow with the mesh.
+    """
+    if n_devices is None:
+        n_devices = len(jax.devices())
+    W_per_shard = docs_per_shard // 32
+    per_n = {}
+    ns = sorted({1, 2, n_devices} & set(range(1, n_devices + 1)))
+    for n in ns:
+        per_n[n] = _bench_mesh(n, sig_size, W_per_shard, B, T,
+                               num_hashes, iters)
+    eff = None
+    if n_devices in per_n and 1 in per_n and n_devices > 1:
+        # weak scaling: N shards score N x the documents per query
+        eff = per_n[n_devices] / per_n[1]
+    return {"per_n": per_n, "efficiency": eff}

@@ -207,22 +207,84 @@ def _bucket(n: int) -> int:
     return b
 
 
+def _csa(a, b, c):
+    """Carry-save full adder on packed bit planes: 5 vector ops."""
+    u = a ^ b
+    return u ^ c, (a & b) | (u & c)
+
+
+def _expand32(plane):
+    """u32 [...] -> i32 [..., 32] per-document indicators."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return ((plane[..., None] >> shifts) & jnp.uint32(1)).astype(jnp.int32)
+
+
+_CSA_CHUNK = 128
+
+
+def _count_csa(anded: jax.Array) -> jax.Array:
+    """Per-bit-position counts over the term axis via a Wallace tree of
+    packed bit-plane adders.
+
+    anded: u32 [B, T, P, W]. Returns i32 [B, P, W, 32].
+
+    The naive formulation expands every term's row into 32 int32
+    document lanes before the T-reduction (~32x the VPU work of the
+    data gathered; it measured ~70% of query runtime). Here the T
+    indicator planes are reduced in packed form: repeated *strided*
+    carry-save adders combine plane triples across the whole array
+    (sum planes keep the current weight, carry planes promote to the
+    next power of two), so the count stays as ~log2(T) bit planes per
+    weight until a single expansion per weight at the end. ~O(T)
+    packed word ops total but only O(log^2 T) HLO ops — fast to
+    compile, and ~15x less VPU work than the naive expansion.
+    """
+    B, T, P, W = anded.shape
+    total = jnp.zeros((B, P, W, 32), jnp.int32)
+    cur = anded                      # weight 2^k planes, k = 0
+    k = 0
+    while cur is not None and k < 32:
+        carries = []
+        while cur.shape[1] > 1:
+            m = cur.shape[1]
+            if m == 2:               # half adder
+                a, b = cur[:, 0:1], cur[:, 1:2]
+                carries.append(a & b)
+                cur = a ^ b
+                continue
+            n3 = m // 3 * 3
+            a, b, c = cur[:, 0:n3:3], cur[:, 1:n3:3], cur[:, 2:n3:3]
+            s, carry = _csa(a, b, c)
+            if m != n3:
+                s = jnp.concatenate([s, cur[:, n3:]], axis=1)
+            carries.append(carry)
+            cur = s
+        total = total + (_expand32(cur[:, 0]) << k)
+        cur = (jnp.concatenate(carries, axis=1)
+               if carries else None)
+        k += 1
+    return total
+
+
 @functools.partial(jax.jit, static_argnames=("num_hashes",))
 def _gather_and_count(matrix: jax.Array, rows_idx: jax.Array,
                       num_hashes: int) -> jax.Array:
     """matrix u32 [R, W], rows_idx i32 [B, T, h, P] -> scores i32 [B, P*W*32].
 
-    The fused hot path: XLA lowers the take() to dynamic-slice gathers from
-    HBM, the AND/unpack/sum fuse into one VPU loop over the gathered tiles.
+    The fused hot path: XLA lowers the take() to dynamic-slice gathers
+    from HBM; the term reduction uses packed carry-save counting
+    (_count_csa) when T is chunk-aligned, the naive expand-sum otherwise
+    (short queries, where it is cheap anyway).
     """
     g = jnp.take(matrix, rows_idx, axis=0)          # [B, T, h, P, W] u32
     anded = g[:, :, 0]
     for j in range(1, num_hashes):
         anded = anded & g[:, :, j]                   # [B, T, P, W]
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    bits = (anded[..., None] >> shifts) & jnp.uint32(1)   # [B, T, P, W, 32]
-    scores = jnp.sum(bits.astype(jnp.int32), axis=1)      # [B, P, W, 32]
-    B = scores.shape[0]
+    B, T = anded.shape[0], anded.shape[1]
+    if T >= _CSA_CHUNK:
+        scores = _count_csa(anded)                   # [B, P, W, 32]
+    else:
+        scores = jnp.sum(_expand32(anded), axis=1)   # [B, P, W, 32]
     return scores.reshape(B, -1)
 
 
