@@ -86,6 +86,10 @@ def lib():
                 L.cobs_window_hashes.restype = i32
                 L.cobs_set_bits.argtypes = [p8, i64, pu64, i64, i64]
                 L.cobs_set_bits.restype = None
+                pi64 = ctypes.POINTER(ctypes.c_int64)
+                L.cobs_gather_rows.argtypes = [p8, i64, pi64, i64, p8,
+                                               i64, i32]
+                L.cobs_gather_rows.restype = None
                 _lib = L
             except OSError as e:
                 print(f"cobs_tpu: native load failed ({e}); "
@@ -148,4 +152,27 @@ def set_bits(data, rows, doc_index: int):
     assert data.flags.c_contiguous and data.dtype == np.uint8
     L.cobs_set_bits(_ptr8(data), data.shape[1], _ptr64(rows),
                     rows.size, doc_index)
+    return True
+
+
+def gather_rows(base, row_bytes: int, rows, out, num_threads: int):
+    """Parallel scattered row copy: out[i] = base[rows[i]].
+
+    base: uint8 [num_rows, row_bytes] (typically an np.memmap);
+    rows: int64 [n]; out: uint8 [n, out_stride] C-contiguous with
+    out_stride >= row_bytes. Returns False when native is unavailable.
+    """
+    import numpy as np
+
+    L = lib()
+    if L is None or not hasattr(L, "cobs_gather_rows"):
+        return False
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    assert out.flags.c_contiguous and out.dtype == np.uint8
+    L.cobs_gather_rows(
+        base.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        row_bytes,
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        rows.size,
+        _ptr8(out), out.shape[1], num_threads)
     return True

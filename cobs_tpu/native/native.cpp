@@ -230,3 +230,40 @@ void cobs_set_bits(uint8_t* data, int64_t row_size, const uint64_t* rows,
 }
 
 }  // extern "C"
+
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// Parallel scattered row gather from a memory-mapped index payload —
+// the TPU framework's analog of the reference's AIO batch reads
+// (reference: cobs/query/compact_index/aio_search_file.cpp:23-97).
+// rows: n global row indices into a [num_rows, row_bytes] payload at
+// `base`; each row is copied to out + i*out_stride. Page faults on the
+// mmap'd file happen concurrently across threads.
+void cobs_gather_rows(const uint8_t* base, int64_t row_bytes,
+                      const int64_t* rows, int64_t n, uint8_t* out,
+                      int64_t out_stride, int32_t num_threads) {
+    if (num_threads < 1) num_threads = 1;
+    auto work = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i)
+            std::memcpy(out + i * out_stride,
+                        base + rows[i] * row_bytes,
+                        static_cast<size_t>(row_bytes));
+    };
+    if (num_threads == 1 || n < 1024) {
+        work(0, n);
+        return;
+    }
+    std::vector<std::thread> pool;
+    int64_t per = (n + num_threads - 1) / num_threads;
+    for (int32_t t = 0; t < num_threads; ++t) {
+        int64_t lo = t * per, hi = lo + per < n ? lo + per : n;
+        if (lo >= hi) break;
+        pool.emplace_back(work, lo, hi);
+    }
+    for (auto& th : pool) th.join();
+}
+
+}  // extern "C"

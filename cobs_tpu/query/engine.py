@@ -423,13 +423,22 @@ class StreamedIndex:
         gathered = np.zeros((uniq.size + 1, W * 4), dtype=np.uint8)
         bounds = np.searchsorted(uniq, np.append(self.row_offsets[1:],
                                                  zero_id))
+        from cobs_tpu import native
+        from cobs_tpu.settings import settings
+
         start = 0
         for p, mm in enumerate(self._mms):
             end = bounds[p]
             if end > start:
                 local = (uniq[start:end]
                          - self.row_offsets[p]).astype(np.int64)
-                gathered[start:end, :self._row_bytes] = mm[local]
+                # parallel scattered reads through the OS page cache —
+                # the analog of the reference's AIO batch (reference:
+                # cobs/query/compact_index/aio_search_file.cpp:23-97)
+                if not native.gather_rows(
+                        mm, self._row_bytes, local,
+                        gathered[start:end], settings.threads):
+                    gathered[start:end, :self._row_bytes] = mm[local]
             start = end
         # rows in uniq beyond the last page bound (the zero id) stay 0
         gmat = jnp.asarray(
