@@ -1,0 +1,100 @@
+"""CLI subtool coverage (in-process, reference flag semantics)."""
+
+import shutil
+from pathlib import Path
+
+import pytest
+
+from cobs_tpu.cli import main as cli
+from cobs_tpu.settings import settings
+
+DATA = Path(__file__).parent / "data"
+GOLDEN = "AGTCAACGCTAAGGCATTTCCCCCCTGCCTCCTGCCTGCTGCCAAGCCCT"
+
+
+@pytest.fixture(autouse=True)
+def _no_cache():
+    settings.disable_cache = True
+    yield
+    settings.disable_cache = False
+
+
+@pytest.fixture()
+def fasta_dir(tmp_path):
+    d = tmp_path / "fasta"
+    shutil.copytree(DATA / "fasta", d)
+    return d
+
+
+@pytest.fixture()
+def classic_index(fasta_dir, tmp_path):
+    out = tmp_path / "idx.cobs_classic"
+    assert cli.main(["classic-construct", str(fasta_dir), str(out),
+                     "--clobber"]) == 0
+    return out
+
+
+def test_query_verbatim(classic_index, capsys):
+    assert cli.main(["query", "-i", str(classic_index), "-t", "0",
+                     GOLDEN]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "sample1\t20"
+    assert len(out) == 7
+
+
+def test_query_default_threshold(classic_index, capsys):
+    assert cli.main(["query", "-i", str(classic_index), GOLDEN]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ["sample1\t20"]
+
+
+def test_query_fasta_file(classic_index, tmp_path, capsys):
+    qf = tmp_path / "q.fa"
+    qf.write_text(f">one\n{GOLDEN[:40]}\n{GOLDEN[40:]}\n"
+                  f">two\n{GOLDEN[:45]}\n")
+    assert cli.main(["query", "-i", str(classic_index), "-f", str(qf),
+                     "-t", "0.5"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "*one\t1"
+    assert out[1] == "sample1\t20"
+    assert "*two\t1" in out
+    i = out.index("*two\t1")
+    assert out[i + 1] == "sample1\t15"
+
+
+def test_query_multi_index(classic_index, fasta_dir, tmp_path, capsys):
+    out2 = tmp_path / "idx2.cobs_compact"
+    assert cli.main(["compact-construct", str(fasta_dir), str(out2),
+                     "--clobber"]) == 0
+    assert cli.main(["query", "-i", str(classic_index),
+                     "-i", str(out2), GOLDEN]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    # both indices report sample1 with full score
+    assert out.count("sample1\t20") == 2
+
+
+def test_query_limit(classic_index, capsys):
+    assert cli.main(["query", "-i", str(classic_index), "-t", "0",
+                     "-l", "3", GOLDEN]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 3 and out[0] == "sample1\t20"
+
+
+def test_unknown_subtool_lists_help(capsys):
+    assert cli.main(["no-such-tool"]) != 0
+
+
+def test_compact_construct_combine(fasta_dir, tmp_path, capsys):
+    """classic batches -> compact combine path
+    (reference: src/cobs.cpp compact-construct-combine)."""
+    import cobs_tpu
+    from cobs_tpu.ingest.document_list import DocumentList
+
+    # build per-page classic indices the way compact_construct does,
+    # then drive the CLI combiner over the directory
+    idx = tmp_path / "c.cobs_compact"
+    assert cli.main(["compact-construct", str(fasta_dir),
+                     str(tmp_path / "direct.cobs_compact"),
+                     "--clobber", "--keep-temporary",
+                     "--tmp-path", str(tmp_path / "tmp")]) == 0
+    assert (tmp_path / "direct.cobs_compact").is_file()
