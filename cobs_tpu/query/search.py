@@ -102,6 +102,21 @@ class Search:
                num_results: int = 0) -> list[SearchResult]:
         return self.search_batch([query], threshold, num_results)[0]
 
+    def _hash_batch(self, qbytes) -> list:
+        """Host stage: per-index hash tensors for a query batch."""
+        max_term_size = max(ix.term_size for ix in self.index_files)
+        for q in qbytes:
+            if len(q) < max_term_size:
+                raise ValueError(
+                    f"query too short, needs to be at least "
+                    f"{max_term_size} characters long")
+        self.timer_.active("hashes")
+        hashed = [create_hashes(qbytes, ix.term_size, ix.num_hashes,
+                                ix.canonicalize)
+                  for ix in self.index_files]
+        self.timer_.stop()
+        return hashed
+
     def search_batch(self, queries, threshold: float = 0.0,
                      num_results: int = 0) -> list[list[SearchResult]]:
         """Score a batch of queries in one device launch per index."""
@@ -109,22 +124,17 @@ class Search:
             return [[] for _ in queries]
         qbytes = [q.encode() if isinstance(q, str) else bytes(q)
                   for q in queries]
+        return self._score_ranked(qbytes, self._hash_batch(qbytes),
+                                  threshold, num_results)
 
-        max_term_size = max(ix.term_size for ix in self.index_files)
-        for q in qbytes:
-            if len(q) < max_term_size:
-                raise ValueError(
-                    f"query too short, needs to be at least "
-                    f"{max_term_size} characters long")
-
+    def _score_ranked(self, qbytes, hashed, threshold,
+                      num_results) -> list[list[SearchResult]]:
+        """Device stage + ranking for a pre-hashed batch."""
         B = len(qbytes)
         per_index_scores = []
         thresholds = []
         for k, ix in enumerate(self.index_files):
-            self.timer_.active("hashes")
-            hashes = create_hashes(
-                qbytes, ix.term_size, ix.num_hashes, ix.canonicalize)
-            self.timer_.stop()
+            hashes = hashed[k]
             if self._sharded is not None:
                 self.timer_.active("io")
                 per_index_scores.append(
@@ -149,6 +159,40 @@ class Search:
                 [s[b] for s in per_index_scores],
                 [t[b] for t in thresholds], limit))
         return out
+
+    def search_stream(self, queries, threshold: float = 0.0,
+                      num_results: int = 0, batch_size: int = 64):
+        """Stream ranked results for an iterable of queries.
+
+        The production serving loop: queries are grouped into batches
+        of `batch_size`; while the device scores and the main thread
+        ranks batch k, a worker thread hashes batch k+1 (the native
+        hashing kernels release the GIL, so this is real overlap).
+        Yields one `list[SearchResult]` per query, in order.
+        """
+        import concurrent.futures
+        import itertools
+
+        it = iter(queries)
+
+        def hash_next():
+            batch = list(itertools.islice(it, batch_size))
+            if not batch:
+                return None, None
+            qbytes = [q.encode() if isinstance(q, str) else bytes(q)
+                      for q in batch]
+            return qbytes, self._hash_batch(qbytes)
+
+        with concurrent.futures.ThreadPoolExecutor(1) as pool:
+            pending = pool.submit(hash_next)
+            while True:
+                qbytes, hashed = pending.result()
+                if qbytes is None:
+                    break
+                pending = pool.submit(hash_next)
+                for res in self._score_ranked(qbytes, hashed,
+                                              threshold, num_results):
+                    yield res
 
     def _rank(self, scores_list, thresholds, num_results
               ) -> list[SearchResult]:

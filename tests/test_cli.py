@@ -98,3 +98,15 @@ def test_compact_construct_combine(fasta_dir, tmp_path, capsys):
                      "--clobber", "--keep-temporary",
                      "--tmp-path", str(tmp_path / "tmp")]) == 0
     assert (tmp_path / "direct.cobs_compact").is_file()
+
+
+def test_search_stream_matches_batch(classic_index):
+    from cobs_tpu.query.search import Search
+    s = Search(str(classic_index))
+    queries = [GOLDEN, GOLDEN[:40], GOLDEN[5:]] * 3
+    want = s.search_batch(queries, 0.0)
+    got = list(s.search_stream(iter(queries), 0.0, batch_size=2))
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        assert [(r.doc_name, r.score) for r in a] == \
+            [(r.doc_name, r.score) for r in b]

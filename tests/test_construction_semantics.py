@@ -1,0 +1,97 @@
+"""Construction semantics oracles: resume/continue, clobber, compact
+payload identity (reference: tests/compact_index_construction.cpp,
+cobs/construction/classic_index.cpp:173-174, 603-631)."""
+
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import cobs_tpu
+from cobs_tpu.fmt import classic as fmt_classic
+from cobs_tpu.fmt import compact as fmt_compact
+from cobs_tpu.settings import settings
+
+DATA = Path(__file__).parent / "data"
+
+
+@pytest.fixture(autouse=True)
+def _no_cache():
+    settings.disable_cache = True
+    yield
+    settings.disable_cache = False
+
+
+@pytest.fixture()
+def fasta_dir(tmp_path):
+    d = tmp_path / "fasta"
+    shutil.copytree(DATA / "fasta", d)
+    return d
+
+
+def test_clobber_refusal_and_force(fasta_dir, tmp_path):
+    out = tmp_path / "x.cobs_classic"
+    dl = cobs_tpu.DocumentList(fasta_dir)
+    cobs_tpu.classic_construct(
+        dl, out, index_params=cobs_tpu.ClassicIndexParameters())
+    with pytest.raises(Exception, match="[Oo]utput file exists"):
+        cobs_tpu.classic_construct(
+            dl, out, index_params=cobs_tpu.ClassicIndexParameters())
+    cobs_tpu.classic_construct(
+        dl, out,
+        index_params=cobs_tpu.ClassicIndexParameters(clobber=True))
+
+
+def test_continue_skips_finished_batches(fasta_dir, tmp_path):
+    """--continue reuses the tmp dir; finished batch files are not
+    rebuilt (their mtimes survive)."""
+    out = tmp_path / "x.cobs_classic"
+    tmp = tmp_path / "tmp"
+    dl = cobs_tpu.DocumentList(fasta_dir)
+    p = cobs_tpu.ClassicIndexParameters(keep_temporary=True)
+    cobs_tpu.classic_construct(dl, out, tmp, index_params=p)
+    batch_files = sorted(tmp.rglob("*.cobs_classic"))
+    assert batch_files
+    mtimes = {f: f.stat().st_mtime_ns for f in batch_files}
+    out.unlink()
+
+    p2 = cobs_tpu.ClassicIndexParameters(continue_=True,
+                                         keep_temporary=True)
+    cobs_tpu.classic_construct(dl, out, tmp, index_params=p2)
+    assert out.is_file()
+    for f, m in mtimes.items():
+        if f.exists():
+            assert f.stat().st_mtime_ns == m, f
+
+
+def test_compact_payload_identical_to_classic_subindices(fasta_dir,
+                                                         tmp_path):
+    """Each compact page's payload is bit-identical to the intermediate
+    classic sub-index it came from
+    (reference: tests/compact_index_construction.cpp:143-169)."""
+    out = tmp_path / "x.cobs_compact"
+    tmp = tmp_path / "tmp"
+    dl = cobs_tpu.DocumentList(fasta_dir)
+    p = cobs_tpu.CompactIndexParameters(page_size=1, keep_temporary=True)
+    cobs_tpu.compact_construct(dl, out, tmp, index_params=p)
+
+    h, pages = fmt_compact.read_compact_index(out)
+    subindex_files = sorted(tmp.rglob("*.cobs_classic"))
+    assert len(subindex_files) >= len(pages) > 0
+    # the per-page combined classic files are the deepest ones
+    per_page = [f for f in subindex_files]
+    matched = 0
+    for pg, param in zip(pages, h.parameters):
+        for f in per_page:
+            ch = fmt_classic.read_classic_header(f)
+            if ch.signature_size != param.signature_size:
+                continue
+            _, rows = fmt_classic.read_classic_index(f)
+            if rows.shape[0] != pg.shape[0]:
+                continue
+            if (pg[:, :rows.shape[1]] == rows).all() and \
+                    (pg[:, rows.shape[1]:] == 0).all():
+                matched += 1
+                break
+    assert matched == len(pages)
