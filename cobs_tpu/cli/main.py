@@ -261,6 +261,8 @@ def cmd_query(argv):
     p.add_argument("--mesh", type=int, default=0, metavar="N",
                    help="shard the index over the first N devices "
                         "(document-axis tensor parallelism)")
+    p.add_argument("--profile", default="", metavar="DIR",
+                   help="capture a jax.profiler device trace into DIR")
     _add_threads_flag(p)
     args = p.parse_args(argv)
     _apply_threads(args)
@@ -278,9 +280,16 @@ def cmd_query(argv):
     s = cobs_tpu.Search(args.index, mesh=mesh,
                         streamed=True if args.streamed else None)
 
+    import contextlib
+    profile_ctx = contextlib.nullcontext()
+    if args.profile:
+        import jax
+        profile_ctx = jax.profiler.trace(args.profile)
+
     if args.query:
-        for res in s.search(args.query, args.threshold, args.limit):
-            print(f"{res.doc_name}\t{res.score}")
+        with profile_ctx:
+            for res in s.search(args.query, args.threshold, args.limit):
+                print(f"{res.doc_name}\t{res.score}")
     elif args.file:
         # FASTA query file: batch all sequences into one device launch
         comments, queries = [], []
@@ -300,7 +309,8 @@ def cmd_query(argv):
         if parts:
             comments.append(comment)
             queries.append("".join(parts))
-        results = s.search_batch(queries, args.threshold, args.limit)
+        with profile_ctx:
+            results = s.search_batch(queries, args.threshold, args.limit)
         for comment, result in zip(comments, results):
             print(f"{comment}\t{len(result)}")
             for res in result:
