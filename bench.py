@@ -91,21 +91,27 @@ def main() -> None:
         _, totals = lax.scan(body, 0, idxs)
         return totals
 
-    def run(K):
-        idxs = jnp.asarray(rng.integers(
+    def make_idxs(K):
+        return jnp.asarray(rng.integers(
             0, sig_size, size=(K, B, T, num_hashes, 1)).astype(np.int32))
-        np.asarray(multi(matrix, idxs))  # compile + warm
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            np.asarray(multi(matrix, idxs))  # fetch = true sync
-            best = min(best, time.perf_counter() - t0)
-        return best
 
     # difference two scan lengths: per-dispatch overhead (large on
-    # remote/tunneled runtimes) cancels, leaving pure device time
+    # remote/tunneled runtimes) cancels, leaving pure device time.
+    # Small/large measurements interleave and take per-size minima so
+    # transient tunnel slowdowns cannot skew the difference.
     k_small, k_large = 4, iters
-    dt = run(k_large) - run(k_small)
+    idxs_s, idxs_l = make_idxs(k_small), make_idxs(k_large)
+    np.asarray(multi(matrix, idxs_s))    # compile + warm
+    np.asarray(multi(matrix, idxs_l))
+    best_s = best_l = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(multi(matrix, idxs_s))  # fetch = true sync
+        best_s = min(best_s, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(multi(matrix, idxs_l))
+        best_l = min(best_l, time.perf_counter() - t0)
+    dt = best_l - best_s
     iters = k_large - k_small
 
     queries = iters * B
