@@ -266,6 +266,22 @@ def _count_csa(anded: jax.Array) -> jax.Array:
     return total
 
 
+#: bound on the materialized gathered tensor (bytes); batches whose
+#: [B, T, h, P, W] gather would exceed it stream through T-chunks
+_GATHER_BYTES_BUDGET = 1 << 30
+
+
+def _gather_count_once(matrix, rows_idx, num_hashes):
+    g = jnp.take(matrix, rows_idx, axis=0)          # [B, T, h, P, W] u32
+    anded = g[:, :, 0]
+    for j in range(1, num_hashes):
+        anded = anded & g[:, :, j]                   # [B, T, P, W]
+    T = anded.shape[1]
+    if T >= _CSA_CHUNK:
+        return _count_csa(anded)                     # [B, P, W, 32]
+    return jnp.sum(_expand32(anded), axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("num_hashes",))
 def _gather_and_count(matrix: jax.Array, rows_idx: jax.Array,
                       num_hashes: int) -> jax.Array:
@@ -274,17 +290,33 @@ def _gather_and_count(matrix: jax.Array, rows_idx: jax.Array,
     The fused hot path: XLA lowers the take() to dynamic-slice gathers
     from HBM; the term reduction uses packed carry-save counting
     (_count_csa) when T is chunk-aligned, the naive expand-sum otherwise
-    (short queries, where it is cheap anyway).
+    (short queries, where it is cheap anyway). For wide indexes the
+    gathered tensor is streamed through term chunks under a fixed HBM
+    budget instead of materializing [B, T, h, P, W] whole.
     """
-    g = jnp.take(matrix, rows_idx, axis=0)          # [B, T, h, P, W] u32
-    anded = g[:, :, 0]
-    for j in range(1, num_hashes):
-        anded = anded & g[:, :, j]                   # [B, T, P, W]
-    B, T = anded.shape[0], anded.shape[1]
-    if T >= _CSA_CHUNK:
-        scores = _count_csa(anded)                   # [B, P, W, 32]
-    else:
-        scores = jnp.sum(_expand32(anded), axis=1)   # [B, P, W, 32]
+    B, T, h, P = rows_idx.shape
+    W = matrix.shape[1]
+    gather_bytes = B * T * h * P * W * 4
+    if gather_bytes <= _GATHER_BYTES_BUDGET or T <= _CSA_CHUNK:
+        return _gather_count_once(matrix, rows_idx,
+                                  num_hashes).reshape(B, -1)
+    n_chunks = -(-gather_bytes // _GATHER_BYTES_BUDGET)
+    tc = max(_CSA_CHUNK, -(-T // n_chunks) // _CSA_CHUNK * _CSA_CHUNK)
+    pad = (-T) % tc
+    if pad:
+        # padding terms point at the all-zero last row
+        rows_idx = jnp.concatenate([
+            rows_idx,
+            jnp.full((B, pad, h, P), matrix.shape[0] - 1, jnp.int32)],
+            axis=1)
+    chunks = jnp.moveaxis(
+        rows_idx.reshape(B, (T + pad) // tc, tc, h, P), 1, 0)
+
+    def body(acc, idx_c):
+        return acc + _gather_count_once(matrix, idx_c, num_hashes), None
+
+    acc0 = jnp.zeros((B, P, W, 32), jnp.int32)
+    scores, _ = lax.scan(body, acc0, chunks)
     return scores.reshape(B, -1)
 
 

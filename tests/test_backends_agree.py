@@ -1,0 +1,86 @@
+"""Property test: every scoring backend returns identical scores.
+
+One random corpus, one batch of random queries; the HBM-resident
+engine, the host-mmap streamed backend, the sharded mesh engine, and
+the Pallas kernel (interpret mode) must agree bit for bit.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import cobs_tpu
+from cobs_tpu.ops.query_kernel import CHUNK, gather_and_count_pallas
+from cobs_tpu.parallel import ShardedIndex, make_mesh
+from cobs_tpu.query.engine import (
+    DeviceIndex,
+    StreamedIndex,
+    create_hashes,
+    score_batch,
+)
+from cobs_tpu.settings import settings
+
+
+@pytest.fixture(autouse=True)
+def _no_cache():
+    settings.disable_cache = True
+    yield
+    settings.disable_cache = False
+
+
+@pytest.mark.parametrize("kind,num_hashes", [("classic", 1),
+                                             ("classic", 3),
+                                             ("compact", 2)])
+def test_all_backends_agree(tmp_path, rng, kind, num_hashes):
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    for i in range(24):
+        seq = bases[rng.integers(0, 4, size=150 + 31 * i)].tobytes()
+        (docs / f"d{i:02d}.fasta").write_bytes(b">s\n" + seq + b"\n")
+    idx = tmp_path / f"x.cobs_{kind}"
+    dl = cobs_tpu.DocumentList(docs)
+    if kind == "classic":
+        cobs_tpu.classic_construct(
+            dl, idx, index_params=cobs_tpu.ClassicIndexParameters(
+                num_hashes=num_hashes, clobber=True))
+    else:
+        cobs_tpu.compact_construct(
+            dl, idx, index_params=cobs_tpu.CompactIndexParameters(
+                num_hashes=num_hashes, page_size=1, clobber=True))
+
+    queries = [bases[rng.integers(0, 4, size=n)].tobytes()
+               for n in (31, 50, 200, 400)]
+    dev = DeviceIndex.from_file(idx)
+    hashes = create_hashes(queries, dev.term_size, dev.num_hashes,
+                           dev.canonicalize)
+
+    base = score_batch(dev, hashes)
+
+    st = StreamedIndex(idx)
+    np.testing.assert_array_equal(st.score_batch(hashes), base,
+                                  err_msg="streamed")
+
+    sharded = ShardedIndex(dev, make_mesh(n_batch=2, n_docs=4),
+                           word_align=8)
+    np.testing.assert_array_equal(sharded.score_batch(hashes), base,
+                                  err_msg="sharded")
+
+    # pallas kernel: T padded to CHUNK, padding points at the zero row
+    B = len(hashes)
+    T = max(CHUNK, -(-max(h.shape[0] for h in hashes) // CHUNK) * CHUNK)
+    rows_idx = np.full((B, T, dev.num_hashes, dev.num_pages),
+                       dev.zero_row, np.int32)
+    for b, hs in enumerate(hashes):
+        rows_idx[b, :hs.shape[0]] = dev.row_indices(hs)
+    got = np.asarray(gather_and_count_pallas(
+        dev.matrix, jnp.asarray(rows_idx), dev.num_hashes,
+        interpret=True))
+    W32 = dev.word_width * 32
+    docs_pp = dev.docs_per_page
+    got = got.reshape(B, dev.num_pages, W32)[:, :, :docs_pp] \
+        .reshape(B, dev.num_pages * docs_pp)
+    np.testing.assert_array_equal(got, base, err_msg="pallas")
