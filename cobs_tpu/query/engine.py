@@ -320,6 +320,22 @@ def _gather_and_count(matrix: jax.Array, rows_idx: jax.Array,
     return scores.reshape(B, -1)
 
 
+def _shrink_scores(scores: jax.Array, t_max: int) -> jax.Array:
+    """Narrow the score dtype for the device-to-host fetch.
+
+    Scores are bounded by the padded term count, so they fit u8/u16 for
+    short/medium queries — the reference's score-width tiering
+    (reference: cobs/query/classic_search.cpp:453-500) applied to the
+    transfer: int32 stays the on-device accumulator, the fetch shrinks
+    4x/2x (which is what the host round trip is bound by).
+    """
+    if t_max <= 255:
+        return scores.astype(jnp.uint8)
+    if t_max <= 65535:
+        return scores.astype(jnp.uint16)
+    return scores
+
+
 def score_batch(index: DeviceIndex, hashes_list: list[np.ndarray],
                 timer: Timer | None = None) -> np.ndarray:
     """Score a batch of queries against one index.
@@ -341,6 +357,7 @@ def score_batch(index: DeviceIndex, hashes_list: list[np.ndarray],
         timer.active("io")
     scores = _gather_and_count(index.matrix, jnp.asarray(rows_idx),
                                index.num_hashes)
+    scores = _shrink_scores(scores, T_max)
     scores = np.asarray(jax.block_until_ready(scores))
     if timer:
         timer.stop()

@@ -95,3 +95,32 @@ def test_compact_payload_identical_to_classic_subindices(fasta_dir,
                 matched += 1
                 break
     assert matched == len(pages)
+
+
+def test_compact_per_page_signature_sizes(tmp_path, rng):
+    """Each compact page's signature size equals calc_signature_size of
+    the page's largest (8th) document's term count
+    (reference: tests/compact_index_construction.cpp:107-115)."""
+    from cobs_tpu.core.params import calc_signature_size
+
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    term_counts = []
+    for i in range(32):
+        n = 100 + 13 * i
+        seq = bases[rng.integers(0, 4, size=n)].tobytes()
+        (docs / f"d{i:02d}.fasta").write_bytes(b">s\n" + seq + b"\n")
+        term_counts.append(n - 30)
+    out = tmp_path / "x.cobs_compact"
+    p = cobs_tpu.CompactIndexParameters(
+        page_size=1, num_hashes=3, false_positive_rate=0.1, clobber=True)
+    cobs_tpu.compact_construct(cobs_tpu.DocumentList(docs), out,
+                               index_params=p)
+    h, _ = fmt_compact.read_compact_header(out)
+    term_counts.sort()
+    for pg, param in enumerate(h.parameters):
+        largest = term_counts[min(pg * 8 + 7, len(term_counts) - 1)]
+        assert param.signature_size == calc_signature_size(
+            largest, 3, 0.1)
+        assert param.num_hashes == 3
