@@ -81,10 +81,13 @@ def classic_construct_from_documents(
         fmt_classic.write_classic_index(out_path, header, data)
         thr_t.stop()
         t.merge(thr_t)
+        ones = int(np.unpackbits(data).sum())
+        ratio = ones / (data.size * 8)
         _log(f"{params.log_prefix}Construct Classic Index "
              f"{pad_index(batch_num)}/{pad_index(num_batches)} "
              f"documents {len(entries)} "
-             f"signature_size {params.signature_size}")
+             f"signature_size {params.signature_size} "
+             f"ratio_of_ones {ratio:.6f}")
 
     doc_list.process_batches_parallel(batch_size, num_threads, process)
     t.print("classic_construct_from_documents")
