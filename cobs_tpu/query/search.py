@@ -194,10 +194,20 @@ class Search:
                                               threshold, num_results):
                     yield res
 
+    @property
+    def _names(self) -> list[str]:
+        names = getattr(self, "_names_cache", None)
+        if names is None:
+            names = []
+            for ix in self.index_files:
+                names.extend(ix.file_names)
+            self._names_cache = names
+        return names
+
     def _rank(self, scores_list, thresholds, num_results
               ) -> list[SearchResult]:
         """Threshold + exact reference tie ordering."""
-        names: list[str] = []
+        names = self._names
         kept_scores: list[np.ndarray] = []
         kept_global: list[np.ndarray] = []
         order_base = 0
@@ -209,7 +219,6 @@ class Search:
             kept_scores.append(s[idx])
             # global tie key: (index id, doc id) ascending
             kept_global.append(idx + order_base)
-            names.extend(ix.file_names)
             order_base += n
         scores = np.concatenate(kept_scores) if kept_scores else \
             np.empty(0, dtype=np.int64)
