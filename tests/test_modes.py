@@ -107,3 +107,40 @@ def test_medium_corpus_batch_query_file(tmp_path, rng, capsys):
         j = out.index(next(l for l in out if l.startswith(f"*{tag}\t")))
         assert f"d{i:03d}\t50" in out[j + 1:j + 1 + int(
             out[j].split("\t")[1])]
+
+
+def test_generate_queries_positives_are_findable(tmp_path, capsys):
+    """Positive queries sampled by generate-queries hit their source
+    document (reference: src/cobs.cpp:734-959)."""
+    d = tmp_path / "fasta"
+    shutil.copytree(DATA / "fasta", d)
+    assert cli.main(["generate-queries", str(d), "--positive", "5",
+                     "-k", "31", "-s", "31", "--seed", "7"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    idx = tmp_path / "g.cobs_classic"
+    assert cli.main(["classic-construct", str(d), str(idx),
+                     "--clobber"]) == 0
+    capsys.readouterr()
+    pairs = [(out[i], out[i + 1]) for i in range(0, len(out) - 1, 2)
+             if out[i].startswith(">doc:")]
+    assert pairs
+    s = cobs_tpu.Search(str(idx))
+    checked = 0
+    for header, seq in pairs:
+        if set(seq) - set("ACGT"):
+            continue   # invalid letters die in the query path, exactly
+            # as in the reference (reference: classic_search.cpp:93-96)
+        # header format: >doc:<doc_id>:term:<pos>:<name>
+        name = header.split(":")[-1]
+        results = s.search(seq, threshold=1.0)
+        assert name in [r.doc_name for r in results], header
+        checked += 1
+    assert checked > 0
+
+
+def test_compact_default_page_size_formula():
+    from cobs_tpu.construct.compact import _round_up_pow2
+    assert _round_up_pow2(1) == 1
+    assert _round_up_pow2(3) == 4
+    assert _round_up_pow2(4) == 4
+    assert _round_up_pow2(1000) == 1024
