@@ -510,3 +510,58 @@ class StreamedIndex:
             return scores[:, :docs]
         return scores.reshape(B, P, W32)[:, :, :docs] \
             .reshape(B, P * docs)
+
+
+@functools.partial(jax.jit, static_argnames=("num_hashes", "k"))
+def _gather_count_topk(matrix, rows_idx, valid_mask, num_hashes, k):
+    scores = _gather_and_count(matrix, rows_idx, num_hashes)
+    masked = jnp.where(valid_mask[None, :], scores, -1)
+    return jax.lax.top_k(masked, k)
+
+
+def score_topk(index: DeviceIndex, hashes_list, k: int,
+               timer: Timer | None = None):
+    """Top-k scoring: only [B, k] (score, document) pairs cross the
+    device-to-host link instead of the full per-document score vector.
+
+    `lax.top_k` prefers lower indices on ties, which is exactly the
+    reference's (score desc, doc asc) result order (reference:
+    cobs/query/classic_search.cpp:140-144). Padding slots (page word
+    padding and 8-alignment beyond the real document count) are masked
+    to -1 so they sort last; callers must drop negative scores.
+
+    Returns (scores i32 [B, k], doc_numbers i64 [B, k]) where
+    doc_number = page * docs_per_page + page-local id, i.e. the same
+    score-slot numbering as score_batch's output.
+    """
+    B = len(hashes_list)
+    T_max = _bucket(max(h.shape[0] for h in hashes_list))
+    P = index.num_pages
+    h = index.num_hashes
+    rows_idx = np.full((B, T_max, h, P), index.zero_row, dtype=np.int32)
+    for b, hs in enumerate(hashes_list):
+        rows_idx[b, :hs.shape[0]] = index.row_indices(hs)
+
+    mask = getattr(index, "_valid_mask", None)
+    if mask is None:
+        W32 = index.word_width * 32
+        dpp = index.docs_per_page
+        n_files = len(index.file_names)
+        slots = np.arange(P * W32)
+        local = slots % W32
+        doc_number = slots // W32 * dpp + local
+        mask = jax.device_put((local < dpp) & (doc_number < n_files))
+        object.__setattr__(index, "_valid_mask", mask)
+
+    if timer:
+        timer.active("io")
+    vals, idx = _gather_count_topk(
+        index.matrix, jnp.asarray(rows_idx), mask, index.num_hashes,
+        min(k, int(mask.shape[0])))
+    vals = np.asarray(jax.block_until_ready(vals))
+    idx = np.asarray(idx)
+    if timer:
+        timer.stop()
+    W32 = index.word_width * 32
+    doc_numbers = (idx // W32) * index.docs_per_page + idx % W32
+    return vals, doc_numbers.astype(np.int64)

@@ -23,6 +23,7 @@ from cobs_tpu.query.engine import (
     StreamedIndex,
     create_hashes,
     score_batch,
+    score_topk,
 )
 from cobs_tpu.settings import settings
 from cobs_tpu.utils.timer import Timer
@@ -131,6 +132,23 @@ class Search:
                       num_results) -> list[list[SearchResult]]:
         """Device stage + ranking for a pre-hashed batch."""
         B = len(qbytes)
+        if (num_results > 0 and self._sharded is None and
+                all(isinstance(ix, DeviceIndex)
+                    for ix in self.index_files)):
+            # top-k fast path: only [B, k] (score, doc) pairs cross the
+            # device-to-host link instead of full score vectors
+            per_index = [
+                score_topk(ix, hashed[k], num_results, self.timer_)
+                for k, ix in enumerate(self.index_files)]
+            out = []
+            for b in range(B):
+                thr = [math.ceil(threshold *
+                                 (len(qbytes[b]) - ix.term_size + 1))
+                       for ix in self.index_files]
+                out.append(self._rank_sparse(
+                    [(v[b], d[b]) for v, d in per_index], thr,
+                    num_results))
+            return out
         per_index_scores = []
         thresholds = []
         for k, ix in enumerate(self.index_files):
@@ -193,6 +211,26 @@ class Search:
                 for res in self._score_ranked(qbytes, hashed,
                                               threshold, num_results):
                     yield res
+
+    def _rank_sparse(self, topk_list, thresholds, num_results
+                     ) -> list[SearchResult]:
+        """Ranking from per-index device top-k (score, doc) pairs."""
+        names = self._names
+        kept_scores, kept_global = [], []
+        order_base = 0
+        for k, ix in enumerate(self.index_files):
+            v, d = topk_list[k]
+            m = (v >= max(0, thresholds[k])) & (v >= 0)
+            kept_scores.append(v[m].astype(np.int64))
+            kept_global.append(d[m] + order_base)
+            order_base += len(ix.file_names)
+        scores = np.concatenate(kept_scores)
+        gidx = np.concatenate(kept_global)
+        num_results = min(num_results, scores.size)
+        order = np.lexsort((gidx, -scores))[:num_results] \
+            if scores.size else np.empty(0, dtype=np.int64)
+        return [SearchResult(names[gidx[i]], int(scores[i]))
+                for i in order]
 
     @property
     def _names(self) -> list[str]:

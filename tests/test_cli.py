@@ -110,3 +110,31 @@ def test_search_stream_matches_batch(classic_index):
     for a, b in zip(got, want):
         assert [(r.doc_name, r.score) for r in a] == \
             [(r.doc_name, r.score) for r in b]
+
+
+def test_topk_path_matches_full_ranking(classic_index):
+    from cobs_tpu.query.search import Search
+    s = Search(str(classic_index))
+    for threshold in (0.0, 0.5, 0.8):
+        for k in (1, 3, 7, 50):
+            full = s.search_batch([GOLDEN, GOLDEN[2:]], threshold, 0)
+            want = [r[:k] for r in full]
+            got = s.search_batch([GOLDEN, GOLDEN[2:]], threshold, k)
+            for a, b in zip(got, want):
+                assert [(r.doc_name, r.score) for r in a] == \
+                    [(r.doc_name, r.score) for r in b], (threshold, k)
+
+
+def test_topk_path_multi_index(classic_index, fasta_dir, tmp_path):
+    from cobs_tpu.query.search import Search
+    import cobs_tpu
+    i2 = tmp_path / "i2.cobs_classic"
+    cobs_tpu.classic_construct(
+        cobs_tpu.DocumentList(fasta_dir), i2,
+        index_params=cobs_tpu.ClassicIndexParameters(clobber=True,
+                                                     num_hashes=2))
+    s = Search([str(classic_index), str(i2)])
+    full = s.search(GOLDEN, 0.0, 0)
+    got = s.search(GOLDEN, 0.0, 5)
+    assert [(r.doc_name, r.score) for r in got] == \
+        [(r.doc_name, r.score) for r in full[:5]]
