@@ -149,8 +149,11 @@ def classic_combine(in_dir, out_dir, mem_bytes: int, num_threads: int,
     new_row_bits = 0
     for p in index_paths:
         rb = headers[p].row_bits
-        if batch and (new_row_bits + rb > target_row_bits or
-                      len(batch) > 512 // num_threads):
+        # progress guarantee: a batch must merge at least two inputs
+        # (a memory budget smaller than two rows would otherwise make
+        # every level a pure rename and the combine loop never finish)
+        if len(batch) >= 2 and (new_row_bits + rb > target_row_bits or
+                                len(batch) > max(2, 512 // num_threads)):
             batches.append(batch)
             batch, new_row_bits = [], 0
         batch.append(p)

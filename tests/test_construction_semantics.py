@@ -124,3 +124,37 @@ def test_compact_per_page_signature_sizes(tmp_path, rng):
         assert param.signature_size == calc_signature_size(
             largest, 3, 0.1)
         assert param.num_hashes == 3
+
+
+def test_multi_batch_construct_and_combine_golden(fasta_dir, tmp_path):
+    """A tiny memory budget forces multiple batch files and the
+    hierarchical combine; the golden query must still be exact
+    (reference: cobs/construction/classic_index.cpp:143-148, 642-647)."""
+    from cobs_tpu.query.search import Search
+
+    out = tmp_path / "x.cobs_classic"
+    p = cobs_tpu.ClassicIndexParameters(clobber=True, num_threads=1)
+    p.mem_bytes = 1  # batch_size floors at 8 docs -> 7 docs still 1
+    # force real multi-batch: duplicate corpus to 14 docs
+    for f in list(fasta_dir.iterdir()):
+        if f.suffix in (".fasta",):
+            (fasta_dir / ("z_" + f.name)).write_bytes(f.read_bytes())
+    dl = cobs_tpu.DocumentList(fasta_dir)
+    assert dl.size() > 8
+    cobs_tpu.classic_construct(dl, out, index_params=p)
+    r = Search(str(out)).search(
+        "AGTCAACGCTAAGGCATTTCCCCCCTGCCTCCTGCCTGCTGCCAAGCCCT", 0.0)
+    scores = {x.doc_name: x.score for x in r}
+    assert scores["sample1"] == 20
+    assert scores["z_sample1"] == 20
+    assert len(r) == dl.size()
+
+
+def test_document_list_ignores_unknown_extensions(tmp_path):
+    d = tmp_path / "mix"
+    d.mkdir()
+    (d / "a.fasta").write_text(">s\nACGTACGTACGTACGTACGTACGTACGTACGTACGT\n")
+    (d / "junk.bin").write_bytes(b"\x00\x01")
+    (d / "notes.md").write_text("hello")
+    dl = cobs_tpu.DocumentList(d)
+    assert dl.size() == 1
