@@ -16,7 +16,6 @@ instead of the reference's per-term scalar chain.
 """
 
 import concurrent.futures
-import math
 import os
 import shutil
 import sys

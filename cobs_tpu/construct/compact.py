@@ -9,8 +9,6 @@ the last page's rows zero-padded to page_size
 
 import math
 import os
-import shutil
-import sys
 from pathlib import Path
 
 import numpy as np

@@ -17,7 +17,6 @@ import hashlib
 import os
 import subprocess
 import sys
-import sysconfig
 import threading
 from pathlib import Path
 

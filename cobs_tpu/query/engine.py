@@ -551,7 +551,7 @@ def score_topk(index: DeviceIndex, hashes_list, k: int,
         local = slots % W32
         doc_number = slots // W32 * dpp + local
         mask = jax.device_put((local < dpp) & (doc_number < n_files))
-        object.__setattr__(index, "_valid_mask", mask)
+        index._valid_mask = mask
 
     if timer:
         timer.active("io")

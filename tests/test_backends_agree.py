@@ -5,7 +5,6 @@ engine, the host-mmap streamed backend, the sharded mesh engine, and
 the Pallas kernel (interpret mode) must agree bit for bit.
 """
 
-from pathlib import Path
 
 import numpy as np
 import pytest

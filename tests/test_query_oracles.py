@@ -8,7 +8,6 @@ Fixtures mirror the reference's generators:
   contains it 10*i+1 times (duplicates must not inflate the score).
 """
 
-from pathlib import Path
 
 import numpy as np
 import pytest
