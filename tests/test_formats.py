@@ -69,3 +69,24 @@ def test_bad_magic(tmp_path):
     assert not classic.is_classic_file(p)
     with pytest.raises(magic.FileIOError):
         classic.read_classic_index(p)
+
+
+def test_base_name_strips_all_extensions():
+    """reference: tests/file.cpp:21-24 + cobs/util/file.hpp:69-76"""
+    from cobs_tpu.ingest.util import base_name
+    assert base_name("data/out/file/classic_index.cobs_doc") == \
+        "classic_index"
+    assert base_name("/a/b/sample3.fasta.gz") == "sample3"
+    assert base_name("plain") == "plain"
+
+
+def test_compact_header_page_alignment_empty(tmp_path):
+    """Payload starts page-aligned even with no parameters/files
+    (reference: tests/file.cpp:122-144)."""
+    import io
+    from cobs_tpu.fmt.compact import CompactIndexHeader
+    h = CompactIndexHeader(term_size=31, canonicalize=1, page_size=4096,
+                           parameters=[], file_names=[])
+    buf = io.BytesIO()
+    h.serialize(buf)
+    assert buf.tell() % 4096 == 0
