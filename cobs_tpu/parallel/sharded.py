@@ -207,3 +207,38 @@ def assemble_scores(scores: jax.Array, docs_per_page: int) -> np.ndarray:
     B, Pp = s.shape[0], s.shape[1]
     s = s.reshape(B, Pp, -1)[:, :, :docs_per_page]
     return s.reshape(B, Pp * docs_per_page)
+
+
+def score_seq_sharded(mesh: Mesh, matrix: jax.Array, rows_idx: jax.Array,
+                      num_hashes: int) -> jax.Array:
+    """Sequence-axis parallel scoring for very long queries.
+
+    The k-mer axis of a single huge query is split across the "batch"
+    mesh axis: each chip counts its slice of terms against the (still
+    document-sharded) matrix and per-document scores merge with one
+    psum — the plain sequence shard + score reduction SURVEY.md §5
+    maps long-context parallelism to (no quadratic interaction exists,
+    so no ring machinery is needed).
+
+    Args:
+      matrix: u32 [total_rows+1, W] sharded P(None, "docs").
+      rows_idx: i32 [B, T, h, pages] with T divisible by the "batch"
+        axis size, sharded P(None, "batch", None, None).
+    Returns:
+      i32 [B, pages, W, 32] sharded P(None, None, "docs", None).
+    """
+
+    def local(mat, idx):
+        g = jnp.take(mat, idx, axis=0)
+        anded = g[:, :, 0]
+        for j in range(1, num_hashes):
+            anded = anded & g[:, :, j]
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        bits = (anded[..., None] >> shifts) & jnp.uint32(1)
+        part = jnp.sum(bits.astype(jnp.int32), axis=1)
+        return lax.psum(part, "batch")
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "docs"), P(None, "batch", None, None)),
+        out_specs=P(None, None, "docs", None))(matrix, rows_idx)

@@ -142,3 +142,29 @@ def test_search_with_mesh_matches_single_chip(classic_index):
         r2 = s2.search(GOLDEN_QUERY, threshold)
         assert [(r.doc_name, r.score) for r in r1] == \
             [(r.doc_name, r.score) for r in r2]
+
+
+def test_sequence_axis_sharding_matches_single_device(classic_index):
+    """A very long query's k-mer axis split across chips with score
+    psum must equal the single-device result."""
+    from cobs_tpu.parallel.sharded import score_seq_sharded
+    from cobs_tpu.utils.misc import random_sequence
+
+    ix = DeviceIndex.from_file(classic_index)
+    mesh = make_mesh(n_batch=4, n_docs=2)
+    sharded = ShardedIndex(ix, mesh, word_align=8)
+    long_query = random_sequence(4096 + 30, 11)
+    hashes = create_hashes([long_query.encode()], ix.term_size,
+                           ix.num_hashes, ix.canonicalize)
+    want = score_batch(ix, hashes)
+
+    T = hashes[0].shape[0]
+    T_pad = -(-T // 4) * 4
+    rows_idx = np.full((1, T_pad, ix.num_hashes, ix.num_pages),
+                       sharded.zero_row, dtype=np.int32)
+    rows_idx[0, :T] = ix.row_indices(hashes[0])
+    scores = score_seq_sharded(mesh, sharded.matrix,
+                               jnp.asarray(rows_idx), ix.num_hashes)
+    got = assemble_scores(jax.block_until_ready(scores),
+                          ix.docs_per_page)
+    np.testing.assert_array_equal(got, want)
