@@ -144,3 +144,34 @@ def test_compact_default_page_size_formula():
     assert _round_up_pow2(3) == 4
     assert _round_up_pow2(4) == 4
     assert _round_up_pow2(1000) == 1024
+
+
+def test_multifasta_subdocuments_end_to_end(tmp_path):
+    """Each `>`-sequence of a multi-FASTA is its own indexed document;
+    querying any sub-sequence's k-mers finds exactly that sub-document
+    (reference: tests/fasta_multifile.cpp end-to-end section)."""
+    d = tmp_path / "mf"
+    shutil.copytree(DATA / "fasta_multi", d)
+    dl = cobs_tpu.DocumentList(d)
+    assert dl.size() > 2  # sub-documents, not files
+    idx = tmp_path / "mf.cobs_classic"
+    cobs_tpu.classic_construct(
+        dl, idx, index_params=cobs_tpu.ClassicIndexParameters(
+            clobber=True, term_size=15))
+    s = Search(str(idx))
+    checked = 0
+    for e in dl:
+        done = False
+        for w in e.term_windows(15):
+            for row in w:
+                seq = row.tobytes().decode()
+                if set(seq) - set("ACGT"):
+                    continue
+                results = s.search(seq, threshold=1.0)
+                assert e.name in [r.doc_name for r in results], e.name
+                checked += 1
+                done = True
+                break
+            if done:
+                break
+    assert checked >= 2
