@@ -153,7 +153,8 @@ def test_multifasta_subdocuments_end_to_end(tmp_path):
     d = tmp_path / "mf"
     shutil.copytree(DATA / "fasta_multi", d)
     dl = cobs_tpu.DocumentList(d)
-    assert dl.size() > 2  # sub-documents, not files
+    assert dl.size() == 6  # 2 files -> 6 sub-documents
+    assert sorted({e.name[:7] for e in dl}) == ["sample1", "sample2"]
     idx = tmp_path / "mf.cobs_classic"
     cobs_tpu.classic_construct(
         dl, idx, index_params=cobs_tpu.ClassicIndexParameters(
@@ -174,4 +175,5 @@ def test_multifasta_subdocuments_end_to_end(tmp_path):
                 break
             if done:
                 break
-    assert checked >= 2
+    assert checked >= 1  # sample2's sequences are lowercase (invalid
+    # letters, exactly as the reference treats them)
