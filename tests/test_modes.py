@@ -175,5 +175,5 @@ def test_multifasta_subdocuments_end_to_end(tmp_path):
                 break
             if done:
                 break
-    assert checked >= 1  # sample2's sequences are lowercase (invalid
-    # letters, exactly as the reference treats them)
+    assert checked >= 1  # sample2 contains protein sequences (invalid
+    # DNA letters, exactly as the reference treats them)
