@@ -345,11 +345,15 @@ def score_batch(index: DeviceIndex, hashes_list: list[np.ndarray],
     score layout (reference: cobs/query/classic_search.cpp:413-429).
     """
     B = len(hashes_list)
+    B_pad = _bucket(B)      # bucket the batch axis too: variable batch
+    # sizes (e.g. a stream's final partial batch) reuse the compiled
+    # program; padding queries point at the zero row
     T_max = _bucket(max(h.shape[0] for h in hashes_list))
     P = index.num_pages
     h = index.num_hashes
 
-    rows_idx = np.full((B, T_max, h, P), index.zero_row, dtype=np.int32)
+    rows_idx = np.full((B_pad, T_max, h, P), index.zero_row,
+                       dtype=np.int32)
     for b, hs in enumerate(hashes_list):
         rows_idx[b, :hs.shape[0]] = index.row_indices(hs)
 
@@ -358,7 +362,7 @@ def score_batch(index: DeviceIndex, hashes_list: list[np.ndarray],
     scores = _gather_and_count(index.matrix, jnp.asarray(rows_idx),
                                index.num_hashes)
     scores = _shrink_scores(scores, T_max)
-    scores = np.asarray(jax.block_until_ready(scores))
+    scores = np.asarray(jax.block_until_ready(scores))[:B]
     if timer:
         timer.stop()
 
@@ -535,10 +539,12 @@ def score_topk(index: DeviceIndex, hashes_list, k: int,
     score-slot numbering as score_batch's output.
     """
     B = len(hashes_list)
+    B_pad = _bucket(B)
     T_max = _bucket(max(h.shape[0] for h in hashes_list))
     P = index.num_pages
     h = index.num_hashes
-    rows_idx = np.full((B, T_max, h, P), index.zero_row, dtype=np.int32)
+    rows_idx = np.full((B_pad, T_max, h, P), index.zero_row,
+                       dtype=np.int32)
     for b, hs in enumerate(hashes_list):
         rows_idx[b, :hs.shape[0]] = index.row_indices(hs)
 
@@ -558,8 +564,8 @@ def score_topk(index: DeviceIndex, hashes_list, k: int,
     vals, idx = _gather_count_topk(
         index.matrix, jnp.asarray(rows_idx), mask, index.num_hashes,
         min(k, int(mask.shape[0])))
-    vals = np.asarray(jax.block_until_ready(vals))
-    idx = np.asarray(idx)
+    vals = np.asarray(jax.block_until_ready(vals))[:B]
+    idx = np.asarray(idx)[:B]
     if timer:
         timer.stop()
     W32 = index.word_width * 32
