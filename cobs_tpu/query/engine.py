@@ -18,12 +18,18 @@ whole index instead lives in HBM as ONE dense uint32 matrix
 
 A query batch becomes a row-index tensor [B, T, h, P] (hashes modded by the
 per-page signature size on the host in uint64). The device then:
-  gather rows -> AND across the h hash functions -> unpack each u32 into 32
-  per-document indicator lanes -> sum over terms -> int32 scores [B, docs].
+  gather rows -> AND across the h hash functions -> count terms per document
+  bit position with packed Wallace-tree carry-save adders (_count_csa; ~15x
+  less VPU work than expanding every term into 32 int32 lanes) -> int32
+  scores [B, docs], narrowed to u8/u16 for the host fetch when the query
+  length allows (the reference's score-width tiering applied to the
+  transfer). Wide indexes stream the gather through term chunks under a
+  fixed HBM budget; top-k queries fetch only [B, k] (score, doc) pairs.
 
-Everything is static-shaped (T padded to buckets, padding terms point at a
-zero row so they contribute nothing) and batched over queries — batching is
-the main throughput win over the reference's serial per-query loop.
+Everything is static-shaped (batch and term axes padded to buckets, padding
+terms point at a zero row so they contribute nothing) and batched over
+queries — batching is the main throughput win over the reference's serial
+per-query loop.
 """
 
 import dataclasses

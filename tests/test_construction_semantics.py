@@ -158,3 +158,25 @@ def test_document_list_ignores_unknown_extensions(tmp_path):
     (d / "notes.md").write_text("hello")
     dl = cobs_tpu.DocumentList(d)
     assert dl.size() == 1
+
+
+def test_interleave_rows_bit_packing_slow_path(rng):
+    """Row interleave with non-byte-aligned widths (the bit-shifting
+    slow path, reference: classic_index.cpp:194-327)."""
+    from cobs_tpu.construct.classic import _interleave_rows
+
+    R = 17
+    a = rng.integers(0, 256, size=(R, 1), dtype=np.uint8)  # 5 bits used
+    b = rng.integers(0, 256, size=(R, 1), dtype=np.uint8)  # 3 bits used
+    a &= 0x1F
+    b &= 0x07
+    out = _interleave_rows([a, b], [5, 3])
+    assert out.shape == (R, 1)
+    want = (a[:, 0] | (b[:, 0] << 5)).astype(np.uint8)
+    np.testing.assert_array_equal(out[:, 0], want)
+
+    # byte-aligned fast path for comparison
+    c = rng.integers(0, 256, size=(R, 2), dtype=np.uint8)
+    out2 = _interleave_rows([c, b], [16, 3])
+    np.testing.assert_array_equal(out2[:, :2], c)
+    np.testing.assert_array_equal(out2[:, 2], b[:, 0])
