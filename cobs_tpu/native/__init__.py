@@ -80,6 +80,9 @@ def lib():
                 L.cobs_window_rows.argtypes = [
                     p8, i64, i64, i64, u64, i32, pu64]
                 L.cobs_window_rows.restype = i32
+                L.cobs_window_rows_mt.argtypes = [
+                    p8, i64, i64, i64, u64, i32, pu64, i32]
+                L.cobs_window_rows_mt.restype = i32
                 L.cobs_window_hashes.argtypes = [p8, i64, i64, i64, i32,
                                                  pu64]
                 L.cobs_window_hashes.restype = i32
@@ -117,11 +120,14 @@ def window_rows(windows, num_hashes: int, sig_size: int,
     L = lib()
     if L is None:
         return None
+    from cobs_tpu.settings import settings
+
     windows = np.ascontiguousarray(windows, dtype=np.uint8)
     n, k = windows.shape
     out = np.empty(n * num_hashes, dtype=np.uint64)
-    good = L.cobs_window_rows(_ptr8(windows), n, k, num_hashes,
-                              sig_size, canonical, _ptr64(out))
+    good = L.cobs_window_rows_mt(_ptr8(windows), n, k, num_hashes,
+                                 sig_size, canonical, _ptr64(out),
+                                 max(1, settings.threads))
     return out, bool(good)
 
 

@@ -16,6 +16,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -177,14 +179,14 @@ int32_t cobs_sequence_rows(const uint8_t* seq, int64_t seq_len, int64_t k,
     return all_good;
 }
 
-// Same hot path over pre-extracted windows [n, k] (row-major) — the
-// drop-in native replacement for canonicalize_batch + xxh64_multi_seed.
-int32_t cobs_window_rows(const uint8_t* windows, int64_t n, int64_t k,
-                         int64_t num_hashes, uint64_t sig_size,
-                         int32_t canonical, uint64_t* out_rows) {
+namespace {
+
+int window_rows_range(const uint8_t* windows, int64_t lo, int64_t hi,
+                      int64_t k, int64_t num_hashes, uint64_t sig_size,
+                      int32_t canonical, uint64_t* out_rows) {
     int all_good = 1;
     uint8_t buf[256];
-    for (int64_t t = 0; t < n; ++t) {
+    for (int64_t t = lo; t < hi; ++t) {
         const uint8_t* term = windows + t * k;
         if (canonical) {
             all_good &= canonicalize(term, k, buf);
@@ -195,6 +197,44 @@ int32_t cobs_window_rows(const uint8_t* windows, int64_t n, int64_t k,
                 xxh64(term, static_cast<size_t>(k),
                       static_cast<uint64_t>(j)) % sig_size;
     }
+    return all_good;
+}
+
+}  // namespace
+
+// Same hot path over pre-extracted windows [n, k] (row-major) — the
+// drop-in native replacement for canonicalize_batch + xxh64_multi_seed.
+int32_t cobs_window_rows(const uint8_t* windows, int64_t n, int64_t k,
+                         int64_t num_hashes, uint64_t sig_size,
+                         int32_t canonical, uint64_t* out_rows) {
+    return window_rows_range(windows, 0, n, k, num_hashes, sig_size,
+                             canonical, out_rows);
+}
+
+// Multithreaded variant for very large window batches (single huge
+// documents; the Python layer parallelizes across documents, this
+// parallelizes within one).
+int32_t cobs_window_rows_mt(const uint8_t* windows, int64_t n, int64_t k,
+                            int64_t num_hashes, uint64_t sig_size,
+                            int32_t canonical, uint64_t* out_rows,
+                            int32_t num_threads) {
+    if (num_threads < 2 || n < 1 << 16)
+        return window_rows_range(windows, 0, n, k, num_hashes, sig_size,
+                                 canonical, out_rows);
+    std::vector<std::thread> pool;
+    std::vector<int> goods(num_threads, 1);
+    int64_t per = (n + num_threads - 1) / num_threads;
+    for (int32_t t = 0; t < num_threads; ++t) {
+        int64_t lo = t * per, hi = lo + per < n ? lo + per : n;
+        if (lo >= hi) break;
+        pool.emplace_back([=, &goods] {
+            goods[t] = window_rows_range(windows, lo, hi, k, num_hashes,
+                                         sig_size, canonical, out_rows);
+        });
+    }
+    int all_good = 1;
+    for (auto& th : pool) th.join();
+    for (int g : goods) all_good &= g;
     return all_good;
 }
 
