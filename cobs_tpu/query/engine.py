@@ -125,6 +125,13 @@ class DeviceIndex:
                 raise FileIOError(
                     "compact index with non-uniform num_hashes unsupported")
         W = _pad_words(-(-h.page_size // 4))
+        if h.page_size * len(h.parameters) > 1024 and h.page_size < 512:
+            import sys
+            print(f"NOTE: compact index has {len(h.parameters)} pages of "
+                  f"{h.page_size} B; pages below 512 B pad to the 128-word "
+                  "lane tile and multiply gather traffic on TPU — consider "
+                  "constructing with --page-size >= 512 for query-heavy "
+                  "workloads", file=sys.stderr)
         words = [_bytes_to_words(pg, W) for pg in pages]
         return cls._build(
             words, [p.signature_size for p in h.parameters], W,
