@@ -12,6 +12,26 @@ Public API mirrors the reference `cobs_index` Python module
 
 import os as _os
 
+if not _os.environ.get("COBS_TPU_NO_COMPILE_CACHE"):
+    # persistent XLA compilation cache: repeat CLI invocations and new
+    # processes reuse compiled query/construction programs instead of
+    # paying multi-second (possibly remote) compiles each run. Set via
+    # the live config because the environment may pre-import jax.
+    import jax as _jax
+
+    try:
+        if not _jax.config.jax_compilation_cache_dir:
+            _jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.path.join(_os.path.expanduser("~"), ".cache",
+                              "cobs_tpu", "jax_cache"))
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.1)
+            _jax.config.update(
+                "jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
 if _os.environ.get("JAX_PLATFORMS"):
     # Honor JAX_PLATFORMS even when the environment pre-imports jax and
     # pins a hardware platform programmatically (which happens before
