@@ -71,3 +71,35 @@ def test_random_config_own_substring_invariant(tmp_path, seed):
                 s.search_batch(queries, threshold=1.0), wants):
             hits = {r.doc_name: r.score for r in res}
             assert hits.get(name) == score, (path.suffix, name)
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_random_text_qgram_invariant(tmp_path, seed):
+    """Text mode: random binary-ish text documents, q-gram exactness."""
+    rng = np.random.default_rng(seed)
+    k = int(rng.choice([4, 8, 12]))
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    texts = []
+    alphabet = np.frombuffer(
+        b"abcdefghijklmnopqrstuvwxyz0123456789 _-", np.uint8)
+    n_docs = int(rng.integers(5, 20))
+    for i in range(n_docs):
+        n = int(rng.integers(5 * k, 500))
+        t = alphabet[rng.integers(0, len(alphabet), size=n)].tobytes()
+        texts.append(t)
+        (docs / f"t{i:02d}.txt").write_bytes(t)
+    idx = tmp_path / "x.cobs_classic"
+    cobs_tpu.classic_construct(
+        cobs_tpu.DocumentList(docs), idx,
+        index_params=cobs_tpu.ClassicIndexParameters(
+            term_size=k, canonicalize=0, num_hashes=2, clobber=True))
+    s = Search(str(idx))
+    for i in rng.choice(n_docs, size=min(5, n_docs), replace=False):
+        t = texts[i]
+        qlen = int(rng.integers(k, min(len(t), 6 * k)))
+        start = int(rng.integers(0, len(t) - qlen + 1))
+        q = t[start:start + qlen].decode()
+        res = s.search(q, threshold=1.0)
+        hits = {r.doc_name: r.score for r in res}
+        assert hits.get(f"t{i:02d}") == qlen - k + 1

@@ -168,3 +168,21 @@ def test_sequence_axis_sharding_matches_single_device(classic_index):
     got = assemble_scores(jax.block_until_ready(scores),
                           ix.docs_per_page)
     np.testing.assert_array_equal(got, want)
+
+
+def test_search_mesh_multi_index_federation(classic_index, tmp_path):
+    """Federated search with every index sharded over the mesh."""
+    from cobs_tpu.query.search import Search
+    idx2 = tmp_path / "second.cobs_classic"
+    dl = cobs_tpu.DocumentList(DATA / "fasta")
+    cobs_tpu.classic_construct(
+        dl, idx2, index_params=cobs_tpu.ClassicIndexParameters(
+            clobber=True, num_hashes=2))
+    mesh = make_mesh(n_batch=2, n_docs=4)
+    s1 = Search([str(classic_index), str(idx2)])
+    s2 = Search([str(classic_index), str(idx2)], mesh=mesh)
+    r1 = s1.search(GOLDEN_QUERY, 0.0)
+    r2 = s2.search(GOLDEN_QUERY, 0.0)
+    assert [(r.doc_name, r.score) for r in r1] == \
+        [(r.doc_name, r.score) for r in r2]
+    assert len(r1) == 14
