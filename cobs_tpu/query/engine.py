@@ -469,16 +469,20 @@ class StreamedIndex:
                 + self.row_offsets[None, None, :].astype(np.uint64)) \
             .astype(np.int64)
 
-    def score_batch(self, hashes_list, timer: Timer | None = None
-                    ) -> np.ndarray:
-        """int32 [B, counts_size]; exact same contract as score_batch."""
-        B = len(hashes_list)
+    def _prepare(self, hashes_list, timer: Timer | None):
+        """Host stage: gather the touched rows, build remapped indices.
+
+        Returns (gmat u32 [U_pad+1, W], remapped i32 [B_pad, T, h, P],
+        T_max). U and B are padded to buckets so repeated batches reuse
+        the compiled device program.
+        """
+        B_pad = _bucket(len(hashes_list))
         T_max = _bucket(max(h.shape[0] for h in hashes_list))
         P = self.num_pages
         h = self.num_hashes
         zero_id = self.total_rows  # virtual all-zero row
 
-        rows_idx = np.full((B, T_max, h, P), zero_id, dtype=np.int64)
+        rows_idx = np.full((B_pad, T_max, h, P), zero_id, dtype=np.int64)
         for b, hs in enumerate(hashes_list):
             rows_idx[b, :hs.shape[0]] = self.row_indices(hs)
 
@@ -486,7 +490,8 @@ class StreamedIndex:
             timer.active("io")
         uniq, inv = np.unique(rows_idx, return_inverse=True)
         W = self.word_width
-        gathered = np.zeros((uniq.size + 1, W * 4), dtype=np.uint8)
+        u_pad = _bucket(uniq.size)
+        gathered = np.zeros((u_pad + 1, W * 4), dtype=np.uint8)
         bounds = np.searchsorted(uniq, np.append(self.row_offsets[1:],
                                                  zero_id))
         from cobs_tpu import native
@@ -506,27 +511,72 @@ class StreamedIndex:
                         gathered[start:end], settings.threads):
                     gathered[start:end, :self._row_bytes] = mm[local]
             start = end
-        # rows in uniq beyond the last page bound (the zero id) stay 0
+        # rows beyond the last page bound (zero id + padding) stay 0
         gmat = jnp.asarray(
             np.ascontiguousarray(gathered).view("<u4"))
         remapped = inv.reshape(rows_idx.shape).astype(np.int32)
-        # padding/zero rows map to positions >= bounds[-1], all zero —
-        # but _gather_and_count's zero row is the LAST row; remap those
-        # to it for clarity (they are zero either way).
         if timer:
             timer.stop()
+        return gmat, remapped, T_max
+
+    def score_batch(self, hashes_list, timer: Timer | None = None
+                    ) -> np.ndarray:
+        """int32 [B, counts_size]; exact same contract as score_batch."""
+        B = len(hashes_list)
+        gmat, remapped, T_max = self._prepare(hashes_list, timer)
+        if timer:
             timer.active("and rows")
-        scores = _gather_and_count(gmat, jnp.asarray(remapped), h)
-        scores = np.asarray(jax.block_until_ready(scores))
+        scores = _gather_and_count(gmat, jnp.asarray(remapped),
+                                   self.num_hashes)
+        scores = _shrink_scores(scores, T_max)
+        scores = np.asarray(jax.block_until_ready(scores))[:B]
         if timer:
             timer.stop()
 
-        W32 = W * 32
+        W32 = self.word_width * 32
         docs = self.docs_per_page
+        P = self.num_pages
         if P == 1:
             return scores[:, :docs]
         return scores.reshape(B, P, W32)[:, :, :docs] \
             .reshape(B, P * docs)
+
+    def score_topk(self, hashes_list, k: int,
+                   timer: Timer | None = None):
+        """Top-k scoring on the streamed backend; same contract as
+        engine.score_topk (only [B, k] pairs cross from the device)."""
+        B = len(hashes_list)
+        gmat, remapped, _ = self._prepare(hashes_list, timer)
+        mask = getattr(self, "_valid_mask_dev", None)
+        if mask is None:
+            mask = jax.device_put(_doc_valid_mask(
+                self.num_pages, self.word_width, self.docs_per_page,
+                len(self.file_names)))
+            self._valid_mask_dev = mask
+        if timer:
+            timer.active("and rows")
+        vals, idx = _gather_count_topk(
+            gmat, jnp.asarray(remapped), mask, self.num_hashes,
+            min(k, int(mask.shape[0])))
+        vals = np.asarray(jax.block_until_ready(vals))[:B]
+        idx = np.asarray(idx)[:B]
+        if timer:
+            timer.stop()
+        W32 = self.word_width * 32
+        doc_numbers = (idx // W32) * self.docs_per_page + idx % W32
+        return vals, doc_numbers.astype(np.int64)
+
+
+def _doc_valid_mask(num_pages: int, word_width: int,
+                    docs_per_page: int, n_files: int) -> np.ndarray:
+    """bool [P*W*32]: True for score slots of real documents (excludes
+    per-page word padding and 8-alignment slots beyond the file count).
+    """
+    W32 = word_width * 32
+    slots = np.arange(num_pages * W32)
+    local = slots % W32
+    doc_number = slots // W32 * docs_per_page + local
+    return (local < docs_per_page) & (doc_number < n_files)
 
 
 @functools.partial(jax.jit, static_argnames=("num_hashes", "k"))
@@ -563,13 +613,9 @@ def score_topk(index: DeviceIndex, hashes_list, k: int,
 
     mask = getattr(index, "_valid_mask", None)
     if mask is None:
-        W32 = index.word_width * 32
-        dpp = index.docs_per_page
-        n_files = len(index.file_names)
-        slots = np.arange(P * W32)
-        local = slots % W32
-        doc_number = slots // W32 * dpp + local
-        mask = jax.device_put((local < dpp) & (doc_number < n_files))
+        mask = jax.device_put(_doc_valid_mask(
+            P, index.word_width, index.docs_per_page,
+            len(index.file_names)))
         index._valid_mask = mask
 
     if timer:

@@ -132,13 +132,13 @@ class Search:
                       num_results) -> list[list[SearchResult]]:
         """Device stage + ranking for a pre-hashed batch."""
         B = len(qbytes)
-        if (num_results > 0 and self._sharded is None and
-                all(isinstance(ix, DeviceIndex)
-                    for ix in self.index_files)):
+        if num_results > 0 and self._sharded is None:
             # top-k fast path: only [B, k] (score, doc) pairs cross the
             # device-to-host link instead of full score vectors
             per_index = [
-                score_topk(ix, hashed[k], num_results, self.timer_)
+                ix.score_topk(hashed[k], num_results, self.timer_)
+                if isinstance(ix, StreamedIndex)
+                else score_topk(ix, hashed[k], num_results, self.timer_)
                 for k, ix in enumerate(self.index_files)]
             out = []
             for b in range(B):

@@ -78,3 +78,15 @@ def test_search_auto_streams_large_indices(tmp_path, fasta_dir,
     monkeypatch.setattr(settings, "load_complete_index", True)
     s = Search(str(idx))
     assert isinstance(s.index_files[0], DeviceIndex)
+
+
+def test_streamed_topk_matches_full(tmp_path, fasta_dir):
+    idx = _mk(tmp_path, fasta_dir, "classic")
+    s = Search(str(idx), streamed=True)
+    assert isinstance(s.index_files[0], StreamedIndex)
+    for threshold in (0.0, 0.8):
+        full = s.search(GOLDEN_QUERY, threshold, 0)
+        for k in (1, 3, 10):
+            got = s.search(GOLDEN_QUERY, threshold, k)
+            assert [(r.doc_name, r.score) for r in got] == \
+                [(r.doc_name, r.score) for r in full[:k]]
