@@ -75,22 +75,30 @@ def compact_combine_into_compact(in_dir, out_file, page_size: int = 4096,
         out_file.parent.mkdir(parents=True, exist_ok=True)
     with open(out_file, "wb") as ofs:
         header.serialize(ofs)
+        stripe_rows = max(1, int(memory) // max(1, page_size) // 2)
         for p, h in zip(paths, headers):
             t.active("copy")
             with open(p, "rb") as ifs:
                 fmt_classic.ClassicIndexHeader.deserialize(ifs)
-                payload = ifs.read()
-            rows = np.frombuffer(payload, dtype=np.uint8).reshape(
-                h.signature_size, h.row_size)
-            if h.row_size == page_size:
-                ofs.write(payload)
-            else:
-                t.active("expand")
-                padded = np.zeros((h.signature_size, page_size),
-                                  dtype=np.uint8)
-                padded[:, :h.row_size] = rows
-                t.active("write")
-                ofs.write(padded.tobytes())
+                done = 0
+                while done < h.signature_size:
+                    nr = min(stripe_rows, h.signature_size - done)
+                    raw = ifs.read(nr * h.row_size)
+                    if len(raw) != nr * h.row_size:
+                        raise RuntimeError(
+                            "compact combine: truncated sub-index")
+                    if h.row_size == page_size:
+                        ofs.write(raw)
+                    else:
+                        t.active("expand")
+                        rows = np.frombuffer(raw, dtype=np.uint8)                             .reshape(nr, h.row_size)
+                        padded = np.zeros((nr, page_size),
+                                          dtype=np.uint8)
+                        padded[:, :h.row_size] = rows
+                        t.active("write")
+                        ofs.write(padded.tobytes())
+                        t.active("copy")
+                    done += nr
             t.stop()
             if not keep_temporary:
                 os.remove(p)
