@@ -132,3 +132,16 @@ def test_document_entry_num_terms():
     for e in dl.list():
         assert e.num_terms(31) == sum(
             w.shape[0] for w in e.term_windows(31))
+
+
+def test_list_file_comments_and_blanks(tmp_path):
+    """# comments and blank lines are skipped; relative paths resolve
+    against the list file's directory
+    (reference: cobs/document_list.hpp:345-407)."""
+    import shutil
+    shutil.copytree(DATA / "fasta", tmp_path / "fasta")
+    lst = tmp_path / "docs.list"
+    lst.write_text("# a comment\n\nfasta/sample1.fasta\n"
+                   "# another\nfasta/sample4.fasta\n\n")
+    dl = DocumentList(lst)
+    assert {e.name for e in dl.list()} == {"sample1", "sample4"}
