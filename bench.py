@@ -60,7 +60,7 @@ def main() -> None:
     else:                       # CPU smoke fallback
         sig_size = 1 << 16
         num_docs = 2_048
-        B, T, iters = 8, 100, 3
+        B, T, iters = 8, 128, 8
     num_hashes = 1
     W = max(128, -(-(-(-num_docs // 8) // 4) // 128) * 128)
 
@@ -111,7 +111,7 @@ def main() -> None:
         t0 = time.perf_counter()
         np.asarray(multi(matrix, idxs_l))
         best_l = min(best_l, time.perf_counter() - t0)
-    dt = best_l - best_s
+    dt = max(best_l - best_s, 1e-9)
     iters = k_large - k_small
 
     queries = iters * B
