@@ -23,6 +23,21 @@ def _add_threads_flag(p):
                    help="number of threads to use, default: max cores")
 
 
+def _parser_with_num_hashes(prog) -> argparse.ArgumentParser:
+    """Parser whose `-h` means --num-hashes, matching the reference CLI
+    (reference: src/cobs.cpp:186); help stays available as --help."""
+    p = argparse.ArgumentParser(prog=prog, add_help=False)
+    p.add_argument("--help", action="help",
+                   help="show this help message and exit")
+    return p
+
+
+def _add_num_hashes_flag(p, default=1):
+    p.add_argument("-h", "-h2", "--num-hashes", type=int, default=default,
+                   dest="num_hashes",
+                   help=f"number of hash functions, default: {default}")
+
+
 def _apply_threads(args):
     if getattr(args, "threads", None):
         from cobs_tpu.settings import settings
@@ -125,9 +140,7 @@ def _construct_common_flags(p, compact=False):
     p.add_argument("--file-type", default="any", help=FILE_TYPE_HELP)
     p.add_argument("-m", "--memory", default=None,
                    help="memory in bytes to use")
-    p.add_argument("-h2", "--num-hashes", type=int, default=1,
-                   dest="num_hashes",
-                   help="number of hash functions, default: 1")
+    _add_num_hashes_flag(p)
     p.add_argument("-f", "--false-positive-rate", type=float, default=0.3)
     p.add_argument("-k", "--term-size", type=int, default=31)
     p.add_argument("--no-canonicalize", action="store_true")
@@ -145,8 +158,7 @@ def _construct_common_flags(p, compact=False):
 
 
 def cmd_classic_construct(argv):
-    p = argparse.ArgumentParser(prog="cobs classic-construct",
-                                add_help=True, conflict_handler="resolve")
+    p = _parser_with_num_hashes("cobs classic-construct")
     _construct_common_flags(p)
     args = p.parse_args(argv)
     _apply_threads(args)
@@ -174,14 +186,13 @@ def cmd_classic_construct(argv):
 
 
 def cmd_classic_construct_random(argv):
-    p = argparse.ArgumentParser(prog="cobs classic-construct-random")
+    p = _parser_with_num_hashes("cobs classic-construct-random")
     p.add_argument("out_file")
     p.add_argument("-s", "--signature-size", default=str(2 * 1024 * 1024),
                    help="number of bits of the signatures, default: 2 Mi")
     p.add_argument("-n", "--num-documents", type=int, default=10000)
     p.add_argument("-m", "--document-size", type=int, default=1000000)
-    p.add_argument("-h2", "--num-hashes", dest="num_hashes", type=int,
-                   default=1)
+    _add_num_hashes_flag(p)
     p.add_argument("--seed", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -195,8 +206,7 @@ def cmd_classic_construct_random(argv):
 
 
 def cmd_compact_construct(argv):
-    p = argparse.ArgumentParser(prog="cobs compact-construct",
-                                conflict_handler="resolve")
+    p = _parser_with_num_hashes("cobs compact-construct")
     _construct_common_flags(p, compact=True)
     args = p.parse_args(argv)
     _apply_threads(args)
@@ -325,9 +335,8 @@ def cmd_query(argv):
 # ------------------------------------------------------------------- misc
 
 def cmd_print_parameters(argv):
-    p = argparse.ArgumentParser(prog="cobs print-parameters")
-    p.add_argument("-h2", "--num-hashes", dest="num_hashes", type=int,
-                   default=1)
+    p = _parser_with_num_hashes("cobs print-parameters")
+    _add_num_hashes_flag(p)
     p.add_argument("-f", "--false-positive-rate", type=float, default=0.3)
     p.add_argument("-n", "--num-elements", default="0")
     args = p.parse_args(argv)
@@ -380,9 +389,16 @@ def cmd_benchmark_fpr(argv):
                    help="calculate false positive distribution")
     p.add_argument("-b", "--batch", type=int, default=64,
                    help="queries per device batch (TPU addition)")
+    p.add_argument("--streamed", action="store_true",
+                   help="benchmark the host-mmap streamed backend")
+    p.add_argument("--cold", action="store_true",
+                   help="evict the index from the OS page cache after "
+                        "every batch (posix_fadvise DONTNEED; implies "
+                        "--streamed) so numbers reflect disk, not cache")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
+    from cobs_tpu.query.engine import StreamedIndex
     from cobs_tpu.query.search import Search
     from cobs_tpu.utils.misc import random_sequence_rng
     rng = np.random.default_rng(args.seed)
@@ -392,22 +408,31 @@ def cmd_benchmark_fpr(argv):
     queries = [random_sequence_rng(args.num_kmers + 30, rng)
                for _ in range(args.queries)]
 
-    s = Search(args.in_file)
+    if args.cold or args.streamed:
+        backend = StreamedIndex(args.in_file, drop_cache=args.cold)
+        s = Search(backend)
+    else:
+        backend = None
+        s = Search(args.in_file)
     for i in range(0, len(warmup), args.batch):
         s.search_batch(warmup[i:i + args.batch])
     s.timer().reset()
+    if args.cold:
+        backend.drop_cache()  # the measured loop starts cold too
 
     counts: dict[int, int] = {}
     t0 = time.perf_counter()
-    result = []
+    last_result = []
     for i in range(0, len(queries), args.batch):
         batch_results = s.search_batch(queries[i:i + args.batch])
+        if batch_results:
+            # reference parity: results= is the LAST query's hit count
+            # (reference: src/cobs.cpp:655)
+            last_result = batch_results[-1]
         if args.dist:
-            for result in batch_results:
-                for r in result:
+            for res_list in batch_results:
+                for r in res_list:
                     counts[r.score] = counts.get(r.score, 0) + 1
-        else:
-            result = batch_results[-1]
     elapsed = time.perf_counter() - t0
 
     t = s.timer()
@@ -417,8 +442,10 @@ def cmd_benchmark_fpr(argv):
           f" kmer_queries={len(queries[0]) - 30}"
           f" queries={len(queries)}"
           f" warmup={len(warmup)}"
-          f" results={len(result)}"
+          f" results={len(last_result)}"
           f" batch={args.batch}"
+          f" backend={'streamed' if backend is not None else 'device'}"
+          f" cold={'on' if args.cold else 'off'}"
           f" t_hashes={t.get('hashes')}"
           f" t_io={t.get('io')}"
           f" t_and={t.get('and rows')}"

@@ -163,13 +163,15 @@ int32_t cobs_sequence_rows(const uint8_t* seq, int64_t seq_len, int64_t k,
                            int64_t num_hashes, uint64_t sig_size,
                            int32_t canonical, uint64_t* out_rows) {
     int all_good = 1;
-    uint8_t buf[256];
+    // buffer sized to the term (k is CLI-controlled and unbounded; a
+    // fixed stack buffer would overflow for k > its size)
+    std::vector<uint8_t> buf(canonical ? static_cast<size_t>(k) : 0);
     const int64_t n = seq_len - k + 1;
     for (int64_t t = 0; t < n; ++t) {
         const uint8_t* term = seq + t;
         if (canonical) {
-            all_good &= canonicalize(term, k, buf);
-            term = buf;
+            all_good &= canonicalize(term, k, buf.data());
+            term = buf.data();
         }
         for (int64_t j = 0; j < num_hashes; ++j)
             out_rows[t * num_hashes + j] =
@@ -185,12 +187,12 @@ int window_rows_range(const uint8_t* windows, int64_t lo, int64_t hi,
                       int64_t k, int64_t num_hashes, uint64_t sig_size,
                       int32_t canonical, uint64_t* out_rows) {
     int all_good = 1;
-    uint8_t buf[256];
+    std::vector<uint8_t> buf(canonical ? static_cast<size_t>(k) : 0);
     for (int64_t t = lo; t < hi; ++t) {
         const uint8_t* term = windows + t * k;
         if (canonical) {
-            all_good &= canonicalize(term, k, buf);
-            term = buf;
+            all_good &= canonicalize(term, k, buf.data());
+            term = buf.data();
         }
         for (int64_t j = 0; j < num_hashes; ++j)
             out_rows[t * num_hashes + j] =
@@ -244,12 +246,12 @@ int32_t cobs_window_hashes(const uint8_t* windows, int64_t n, int64_t k,
                            int64_t num_hashes, int32_t canonical,
                            uint64_t* out) {
     int all_good = 1;
-    uint8_t buf[256];
+    std::vector<uint8_t> buf(canonical ? static_cast<size_t>(k) : 0);
     for (int64_t t = 0; t < n; ++t) {
         const uint8_t* term = windows + t * k;
         if (canonical) {
-            all_good &= canonicalize(term, k, buf);
-            term = buf;
+            all_good &= canonicalize(term, k, buf.data());
+            term = buf.data();
         }
         for (int64_t j = 0; j < num_hashes; ++j)
             out[t * num_hashes + j] =

@@ -44,8 +44,14 @@ def _open_index(path, streamed):
         else:
             import os
 
-            streamed = (os.path.getsize(path)
-                        > settings.max_device_index_bytes)
+            try:
+                size = os.path.getsize(path)
+            except OSError:
+                from cobs_tpu.fmt.magic import FileIOError
+
+                raise FileIOError(
+                    f'Could not open index path "{path}"') from None
+            streamed = size > settings.max_device_index_bytes
     return (StreamedIndex(path) if streamed
             else DeviceIndex.from_file(path))
 
@@ -103,19 +109,23 @@ class Search:
                num_results: int = 0) -> list[SearchResult]:
         return self.search_batch([query], threshold, num_results)[0]
 
-    def _hash_batch(self, qbytes) -> list:
-        """Host stage: per-index hash tensors for a query batch."""
+    def _hash_batch(self, qbytes, timer=None) -> list:
+        """Host stage: per-index hash tensors for a query batch.
+
+        `timer` lets worker threads time into a private Timer (merged
+        by the caller) instead of racing the main thread's phases."""
+        timer = self.timer_ if timer is None else timer
         max_term_size = max(ix.term_size for ix in self.index_files)
         for q in qbytes:
             if len(q) < max_term_size:
                 raise ValueError(
                     f"query too short, needs to be at least "
                     f"{max_term_size} characters long")
-        self.timer_.active("hashes")
+        timer.active("hashes")
         hashed = [create_hashes(qbytes, ix.term_size, ix.num_hashes,
                                 ix.canonicalize)
                   for ix in self.index_files]
-        self.timer_.stop()
+        timer.stop()
         return hashed
 
     def search_batch(self, queries, threshold: float = 0.0,
@@ -140,6 +150,7 @@ class Search:
                 if isinstance(ix, StreamedIndex)
                 else score_topk(ix, hashed[k], num_results, self.timer_)
                 for k, ix in enumerate(self.index_files)]
+            self.timer_.active("sort results")
             out = []
             for b in range(B):
                 thr = [math.ceil(threshold *
@@ -148,6 +159,7 @@ class Search:
                 out.append(self._rank_sparse(
                     [(v[b], d[b]) for v, d in per_index], thr,
                     num_results))
+            self.timer_.stop()
             return out
         per_index_scores = []
         thresholds = []
@@ -168,6 +180,7 @@ class Search:
                 math.ceil(threshold * (len(q) - ix.term_size + 1))
                 for q in qbytes])
 
+        self.timer_.active("sort results")
         out: list[list[SearchResult]] = []
         total_docs = sum(len(ix.file_names) for ix in self.index_files)
         for b in range(B):
@@ -176,6 +189,7 @@ class Search:
             out.append(self._rank(
                 [s[b] for s in per_index_scores],
                 [t[b] for t in thresholds], limit))
+        self.timer_.stop()
         return out
 
     def search_stream(self, queries, threshold: float = 0.0,
@@ -196,17 +210,21 @@ class Search:
         def hash_next():
             batch = list(itertools.islice(it, batch_size))
             if not batch:
-                return None, None
+                return None, None, None
             qbytes = [q.encode() if isinstance(q, str) else bytes(q)
                       for q in batch]
-            return qbytes, self._hash_batch(qbytes)
+            # private timer: the worker must not race the main thread's
+            # scoring phases on the shared Timer
+            t = Timer()
+            return qbytes, self._hash_batch(qbytes, t), t
 
         with concurrent.futures.ThreadPoolExecutor(1) as pool:
             pending = pool.submit(hash_next)
             while True:
-                qbytes, hashed = pending.result()
+                qbytes, hashed, t = pending.result()
                 if qbytes is None:
                     break
+                self.timer_.merge(t)
                 pending = pool.submit(hash_next)
                 for res in self._score_ranked(qbytes, hashed,
                                               threshold, num_results):

@@ -21,16 +21,18 @@ class Timer:
 
     def active(self, name: str) -> None:
         now = time.perf_counter()
-        if self._running is not None:
-            self._accumulate(self._running, now - self._start)
-        self._running = name
-        self._start = now
+        with self._lock:
+            if self._running is not None:
+                self._accumulate(self._running, now - self._start)
+            self._running = name
+            self._start = now
 
     def stop(self) -> None:
-        if self._running is not None:
-            now = time.perf_counter()
-            self._accumulate(self._running, now - self._start)
-        self._running = None
+        now = time.perf_counter()
+        with self._lock:
+            if self._running is not None:
+                self._accumulate(self._running, now - self._start)
+            self._running = None
 
     def _accumulate(self, name: str, dt: float) -> None:
         if name not in self._durations:
@@ -53,11 +55,11 @@ class Timer:
         self._running = None
 
     def merge(self, other: "Timer") -> "Timer":
+        """Fold another (e.g. per-worker-thread) timer's phases into this
+        one (reference: cobs/util/timer.cpp:67-75)."""
         with self._lock:
             for name in other._order:
                 self._accumulate(name, other._durations[name])
-                self._total -= 0.0
-            # _accumulate already adds to total
         return self
 
     def __iadd__(self, other: "Timer") -> "Timer":

@@ -83,3 +83,26 @@ def test_all_backends_agree(tmp_path, rng, kind, num_hashes):
     got = got.reshape(B, dev.num_pages, W32)[:, :, :docs_pp] \
         .reshape(B, dev.num_pages * docs_pp)
     np.testing.assert_array_equal(got, base, err_msg="pallas")
+
+
+def test_chunked_gather_matches_unchunked(rng, monkeypatch):
+    """The T-chunked streaming path under a tiny HBM budget must be
+    bit-exact vs the single-shot gather (regression: the chunk/pad/
+    zero-row logic otherwise only runs on >1 GiB workloads)."""
+    import cobs_tpu.query.engine as eng
+
+    sig, W, h = 4099, 8, 2
+    matrix = jnp.asarray(np.concatenate([
+        rng.integers(0, 1 << 32, size=(sig, W), dtype=np.uint32),
+        np.zeros((1, W), np.uint32)], axis=0))
+    # T chosen > _CSA_CHUNK so the chunked branch is reachable
+    B, T = 3, 517
+    rows_idx = rng.integers(0, sig, size=(B, T, h, 1)).astype(np.int32)
+    want = np.asarray(eng._gather_and_count(matrix, jnp.asarray(rows_idx), h))
+
+    monkeypatch.setattr(eng, "_GATHER_BYTES_BUDGET", 32 * 1024)
+    # re-trace: _gather_and_count branches on the budget at trace time
+    chunked = eng._gather_and_count.__wrapped__
+    got = np.asarray(chunked(matrix, jnp.asarray(rows_idx), h))
+    assert B * T * h * W * 4 > 32 * 1024  # budget actually exceeded
+    np.testing.assert_array_equal(got, want)

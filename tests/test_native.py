@@ -111,3 +111,28 @@ def test_end_to_end_equivalence_native_vs_fallback(tmp_path, monkeypatch):
         monkeypatch.undo()
         native._tried = False
         native._lib = None
+
+
+@pytest.mark.parametrize("k", [257, 300])
+def test_window_hashes_large_k(rng, k):
+    """k > 256 must not overflow the native canonicalize buffer
+    (regression: fixed stack buffer; term_size is user-controlled)."""
+    windows = _random_windows(rng, 37, k)
+    out = native.window_hashes(windows, 2, 1)
+    assert out is not None
+    hashes, good = out
+    assert good
+    cw, _ = canonicalize_batch(windows)
+    want = xxh64_multi_seed(np.ascontiguousarray(cw), 2)
+    np.testing.assert_array_equal(hashes, want)
+
+
+def test_window_rows_large_k(rng):
+    k, sig = 400, 99991
+    windows = _random_windows(rng, 23, k)
+    rows, good = native.window_rows(windows, 3, sig, 1)
+    assert good
+    cw, _ = canonicalize_batch(windows)
+    want = (xxh64_multi_seed(np.ascontiguousarray(cw), 3)
+            % np.uint64(sig)).ravel()
+    np.testing.assert_array_equal(rows, want)
