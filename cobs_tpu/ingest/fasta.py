@@ -17,7 +17,8 @@ import struct
 import numpy as np
 
 from cobs_tpu.settings import settings
-from cobs_tpu.ingest.util import read_lines, sliding_windows
+from cobs_tpu.ingest.util import (STREAM_CHUNK, iter_lines,
+                                  sliding_windows)
 
 
 class FastaFile:
@@ -38,19 +39,20 @@ class FastaFile:
         return self.path + ".cobs_cache"
 
     def _compute_index(self) -> None:
-        lines = read_lines(self.path)
         self.size_ = 0
         self.sequence_count = 0
         self.size_hist = {}
-        if not lines:
-            return
-        first = lines[0]
-        if len(first) == 0 or first[0:1] not in (b">", b";"):
-            raise ValueError(
-                f"FastaFile: file does not start with > or ; - {self.path}")
-        self.size_ = len(first) + 1
         seq_size = 0
-        for line in lines[1:]:
+        first = True
+        for line in iter_lines(self.path):
+            if first:
+                if len(line) == 0 or line[0:1] not in (b">", b";"):
+                    raise ValueError(
+                        "FastaFile: file does not start with > or ; - "
+                        f"{self.path}")
+                self.size_ = len(line) + 1
+                first = False
+                continue
             self.size_ += len(line) + 1
             if len(line) == 0 or line[0:1] in (b">", b";"):
                 if seq_size != 0:
@@ -96,9 +98,12 @@ class FastaFile:
                    for size, count in self.size_hist.items())
 
     def sequences(self):
-        """Yield each sequence as a uint8 array (lines concatenated)."""
+        """Yield each sequence as a uint8 array (lines concatenated).
+
+        Materializes one sequence at a time; for bounded memory on
+        arbitrarily large sequences use term_windows."""
         parts: list[bytes] = []
-        for line in read_lines(self.path):
+        for line in iter_lines(self.path):
             if len(line) == 0 or line[0:1] in (b">", b";"):
                 if parts:
                     yield np.frombuffer(b"".join(parts), dtype=np.uint8)
@@ -108,12 +113,31 @@ class FastaFile:
         if parts:
             yield np.frombuffer(b"".join(parts), dtype=np.uint8)
 
-    def term_windows(self, term_size: int):
-        """Yield [n, term_size] window batches, one per sequence."""
-        for seq in self.sequences():
-            w = sliding_windows(seq, term_size)
-            if w.shape[0]:
-                yield w
+    def term_windows(self, term_size: int, chunk_bytes: int | None = None):
+        """Yield [n, term_size] window batches under a fixed memory
+        bound: sequences stream through ~chunk_bytes buffers with a
+        (k-1)-byte carry, so terms cross line (but never sequence)
+        boundaries exactly as in the reference's rolling tail buffer
+        (reference: cobs/fasta_file.hpp:156-182)."""
+        chunk = chunk_bytes or STREAM_CHUNK
+        k = term_size
+        buf = bytearray()
+
+        def windows(b):
+            return sliding_windows(np.frombuffer(bytes(b), np.uint8), k)
+
+        for line in iter_lines(self.path):
+            if len(line) == 0 or line[0:1] in (b">", b";"):
+                if len(buf) >= k:
+                    yield windows(buf)
+                buf = bytearray()
+                continue
+            buf += line
+            if len(buf) >= chunk + k - 1:
+                yield windows(buf)
+                del buf[:len(buf) - (k - 1)]
+        if len(buf) >= k:
+            yield windows(buf)
 
     def process_terms(self, term_size: int, callback) -> None:
         for w in self.term_windows(term_size):

@@ -10,7 +10,8 @@ import struct
 import numpy as np
 
 from cobs_tpu.settings import settings
-from cobs_tpu.ingest.util import read_lines, sliding_windows
+from cobs_tpu.ingest.util import (STREAM_CHUNK, iter_lines,
+                                  sliding_windows)
 
 
 class FastqFile:
@@ -30,27 +31,28 @@ class FastqFile:
     def cache_path(self) -> str:
         return self.path + ".cobs_cache"
 
-    def _check_lines(self, lines):
-        for line_num, line in enumerate(lines):
-            mod = line_num % 4
-            if mod == 0 and (len(line) == 0 or line[0:1] != b"@"):
-                raise ValueError(
-                    f"FastqFile: line {line_num} does not start with @ - "
-                    f"{self.path}")
-            if mod == 2 and (len(line) == 0 or line[0:1] != b"+"):
-                raise ValueError(
-                    f"FastqFile: line {line_num} does not start with + - "
-                    f"{self.path}")
+    def _check_line(self, line_num, line):
+        mod = line_num % 4
+        if mod == 0 and (len(line) == 0 or line[0:1] != b"@"):
+            raise ValueError(
+                f"FastqFile: line {line_num} does not start with @ - "
+                f"{self.path}")
+        if mod == 2 and (len(line) == 0 or line[0:1] != b"+"):
+            raise ValueError(
+                f"FastqFile: line {line_num} does not start with + - "
+                f"{self.path}")
 
     def _compute_index(self) -> None:
-        lines = read_lines(self.path)
-        self._check_lines(lines)
-        self.size_ = sum(len(line) + 1 for line in lines)
+        self.size_ = 0
         self.sequence_count = 0
         self.size_hist = {}
-        for line in lines[1::4]:
-            self.size_hist[len(line)] = self.size_hist.get(len(line), 0) + 1
-            self.sequence_count += 1
+        for line_num, line in enumerate(iter_lines(self.path)):
+            self._check_line(line_num, line)
+            self.size_ += len(line) + 1
+            if line_num % 4 == 1:
+                self.size_hist[len(line)] = \
+                    self.size_hist.get(len(line), 0) + 1
+                self.sequence_count += 1
 
     def _write_cache_file(self) -> None:
         tmp = self.cache_path() + ".tmp"
@@ -84,17 +86,32 @@ class FastqFile:
                    for size, count in self.size_hist.items())
 
     def sequences(self):
-        lines = read_lines(self.path)
-        self._check_lines(lines)
-        for line in lines[1::4]:
-            if line:
+        for line_num, line in enumerate(iter_lines(self.path)):
+            self._check_line(line_num, line)
+            if line_num % 4 == 1 and line:
                 yield np.frombuffer(line, dtype=np.uint8)
 
-    def term_windows(self, term_size: int):
+    def term_windows(self, term_size: int, chunk_bytes: int | None = None):
+        """Yield [n, term_size] window batches; reads stream one at a
+        time (terms never cross reads) and consecutive short reads'
+        windows are packed into ~chunk_bytes batches so the downstream
+        hash kernels see large batches, not millions of tiny ones."""
+        chunk = chunk_bytes or STREAM_CHUNK
+        pend: list[np.ndarray] = []
+        pend_bytes = 0
         for seq in self.sequences():
             w = sliding_windows(seq, term_size)
-            if w.shape[0]:
-                yield w
+            if not w.shape[0]:
+                continue
+            pend.append(w)
+            pend_bytes += w.shape[0] * term_size
+            if pend_bytes >= chunk:
+                yield (pend[0] if len(pend) == 1
+                       else np.concatenate(pend, axis=0))
+                pend, pend_bytes = [], 0
+        if pend:
+            yield (pend[0] if len(pend) == 1
+                   else np.concatenate(pend, axis=0))
 
     def process_terms(self, term_size: int, callback) -> None:
         for w in self.term_windows(term_size):

@@ -5,7 +5,7 @@ import os
 
 import numpy as np
 
-from cobs_tpu.ingest.util import sliding_windows
+from cobs_tpu.ingest.util import STREAM_CHUNK, sliding_windows
 
 
 class TextFile:
@@ -27,11 +27,26 @@ class TextFile:
         if data:
             yield np.frombuffer(data, dtype=np.uint8)
 
-    def term_windows(self, term_size: int):
-        for seq in self.sequences():
-            w = sliding_windows(seq, term_size)
-            if w.shape[0]:
-                yield w
+    def term_windows(self, term_size: int, chunk_bytes: int | None = None):
+        """Yield [n, term_size] q-gram batches streamed through a
+        bounded buffer with a (q-1)-byte carry — the reference's 64 KiB
+        sliding window (reference: cobs/text_file.hpp:45-68) scaled to
+        batched hashing."""
+        chunk = chunk_bytes or STREAM_CHUNK
+        k = term_size
+        with open(self.path, "rb") as f:
+            carry = b""
+            while True:
+                data = f.read(chunk)
+                if not data:
+                    break
+                buf = carry + data
+                if len(buf) >= k:
+                    yield sliding_windows(
+                        np.frombuffer(buf, np.uint8), k)
+                    carry = buf[len(buf) - (k - 1):]
+                else:
+                    carry = buf
 
     def process_terms(self, term_size: int, callback) -> None:
         for w in self.term_windows(term_size):

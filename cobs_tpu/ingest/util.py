@@ -28,16 +28,40 @@ def open_maybe_gzip(path) -> io.BufferedIOBase:
     return open(path, "rb")
 
 
-def read_lines(path) -> list[bytes]:
-    """Read all lines like repeated std::getline: '\\n'-separated, the
-    terminator not included; a trailing newline does not produce an empty
-    final line. '\\r' is NOT stripped (matches the reference parsers)."""
+#: bytes of sequence data per streamed term-window batch; parsers carry
+#: the (k-1)-byte window tail across batches, so documents of any size
+#: are ingested under a fixed memory bound (the reference's bounded
+#: sliding buffers, reference: cobs/fasta_file.hpp:156-182,
+#: text_file.hpp:45-68 — scaled up from 64 KiB to amortize the batched
+#: hash-kernel calls)
+STREAM_CHUNK = 4 << 20
+
+#: read granularity of the streaming line iterator
+_READ_CHUNK = 1 << 20
+
+
+def iter_lines(path):
+    """Stream lines like repeated std::getline: '\\n'-separated, the
+    terminator not included; a trailing newline does not produce an
+    empty final line. '\\r' is NOT stripped (matches the reference
+    parsers). Reads in bounded chunks — a 100 GB document never lives
+    in memory whole."""
     with open_maybe_gzip(path) as f:
-        data = f.read()
-    lines = data.split(b"\n")
-    if data.endswith(b"\n"):
-        lines.pop()
-    return lines
+        tail = b""
+        while True:
+            chunk = f.read(_READ_CHUNK)
+            if not chunk:
+                break
+            parts = (tail + chunk).split(b"\n")
+            tail = parts.pop()
+            yield from parts
+        if tail:
+            yield tail
+
+
+def read_lines(path) -> list[bytes]:
+    """All lines of a (small) file; see iter_lines for the semantics."""
+    return list(iter_lines(path))
 
 
 def base_name(path) -> str:

@@ -77,6 +77,9 @@ def lib():
                 L.cobs_sequence_rows.argtypes = [
                     p8, i64, i64, i64, u64, i32, pu64]
                 L.cobs_sequence_rows.restype = i32
+                L.cobs_sequence_rows_mt.argtypes = [
+                    p8, i64, i64, i64, u64, i32, pu64, i32]
+                L.cobs_sequence_rows_mt.restype = i32
                 L.cobs_window_rows.argtypes = [
                     p8, i64, i64, i64, u64, i32, pu64]
                 L.cobs_window_rows.restype = i32
@@ -113,7 +116,10 @@ def window_rows(windows, num_hashes: int, sig_size: int,
     """Native canonicalize+hash+mod over windows u8 [n, k].
 
     Returns (rows u64 [n*num_hashes], all_good) or None if the native
-    library is unavailable.
+    library is unavailable. Sliding-window *views* (strides (1, 1), as
+    produced by ingest.util.sliding_windows) take a zero-copy path that
+    hands the underlying sequence bytes to C++ directly instead of
+    materializing the n*k window matrix.
     """
     import numpy as np
 
@@ -122,12 +128,19 @@ def window_rows(windows, num_hashes: int, sig_size: int,
         return None
     from cobs_tpu.settings import settings
 
-    windows = np.ascontiguousarray(windows, dtype=np.uint8)
+    windows = np.asarray(windows, dtype=np.uint8)
     n, k = windows.shape
     out = np.empty(n * num_hashes, dtype=np.uint64)
+    threads = max(1, settings.threads)
+    if windows.strides == (1, 1) and n > 0:
+        good = L.cobs_sequence_rows_mt(_ptr8(windows), n + k - 1, k,
+                                       num_hashes, sig_size, canonical,
+                                       _ptr64(out), threads)
+        return out, bool(good)
+    windows = np.ascontiguousarray(windows)
     good = L.cobs_window_rows_mt(_ptr8(windows), n, k, num_hashes,
                                  sig_size, canonical, _ptr64(out),
-                                 max(1, settings.threads))
+                                 threads)
     return out, bool(good)
 
 

@@ -181,6 +181,37 @@ int32_t cobs_sequence_rows(const uint8_t* seq, int64_t seq_len, int64_t k,
     return all_good;
 }
 
+// Multithreaded variant over one large sequence: thread t handles the
+// window range [lo, hi) directly on the shared sequence bytes (windows
+// overlap, reads only). Used by the streaming ingest path, where a
+// chunk is one contiguous sequence slice — no [n, k] window
+// materialization needed at all.
+int32_t cobs_sequence_rows_mt(const uint8_t* seq, int64_t seq_len,
+                              int64_t k, int64_t num_hashes,
+                              uint64_t sig_size, int32_t canonical,
+                              uint64_t* out_rows, int32_t num_threads) {
+    const int64_t n = seq_len - k + 1;
+    if (num_threads < 2 || n < 1 << 16)
+        return cobs_sequence_rows(seq, seq_len, k, num_hashes, sig_size,
+                                  canonical, out_rows);
+    std::vector<std::thread> pool;
+    std::vector<int> goods(num_threads, 1);
+    int64_t per = (n + num_threads - 1) / num_threads;
+    for (int32_t t = 0; t < num_threads; ++t) {
+        int64_t lo = t * per, hi = lo + per < n ? lo + per : n;
+        if (lo >= hi) break;
+        pool.emplace_back([=, &goods] {
+            goods[t] = cobs_sequence_rows(
+                seq + lo, (hi - lo) + k - 1, k, num_hashes, sig_size,
+                canonical, out_rows + lo * num_hashes);
+        });
+    }
+    int all_good = 1;
+    for (auto& th : pool) th.join();
+    for (int g : goods) all_good &= g;
+    return all_good;
+}
+
 namespace {
 
 int window_rows_range(const uint8_t* windows, int64_t lo, int64_t hi,
