@@ -151,6 +151,10 @@ def _construct_common_flags(p, compact=False):
     _add_threads_flag(p)
     p.add_argument("--keep-temporary", action="store_true")
     p.add_argument("--tmp-path", default=None)
+    p.add_argument("--device-construct", action="store_true",
+                   help="build batch bit matrices on the device "
+                        "(sharded across all devices); output is "
+                        "byte-identical to the host path")
     if compact:
         p.add_argument("-p", "--page-size", type=int, default=0,
                        help="page size of the compact index, "
@@ -170,7 +174,8 @@ def cmd_classic_construct(argv):
         num_hashes=args.num_hashes,
         false_positive_rate=args.false_positive_rate,
         clobber=args.clobber, continue_=args.continue_,
-        keep_temporary=args.keep_temporary)
+        keep_temporary=args.keep_temporary,
+        device_construct=args.device_construct)
     if args.memory:
         params.mem_bytes = _parse_bytes(args.memory)
     if args.threads:
@@ -219,7 +224,8 @@ def cmd_compact_construct(argv):
         false_positive_rate=args.false_positive_rate,
         page_size=args.page_size,
         clobber=args.clobber, continue_=args.continue_,
-        keep_temporary=args.keep_temporary)
+        keep_temporary=args.keep_temporary,
+        device_construct=args.device_construct)
     if args.memory:
         params.mem_bytes = _parse_bytes(args.memory)
     if args.threads:

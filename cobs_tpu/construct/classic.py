@@ -41,6 +41,22 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr)
 
 
+def _construct_mesh():
+    """Mesh for device-side construction: the docs axis spans all
+    devices (document-axis tensor parallelism); None on a single
+    device. Override with settings.construct_mesh."""
+    from cobs_tpu.settings import settings
+    mesh = getattr(settings, "construct_mesh", None)
+    if mesh is not None:
+        return mesh
+    import jax
+    devices = jax.devices()
+    if len(devices) < 2:
+        return None
+    from cobs_tpu.parallel.sharded import make_mesh
+    return make_mesh(n_batch=1, n_docs=len(devices), devices=devices)
+
+
 def classic_construct_from_documents(
         doc_list: DocumentList, out_dir,
         params: ClassicIndexParameters) -> None:
@@ -60,6 +76,17 @@ def classic_construct_from_documents(
                   // num_threads)
     batch_size = max(8, _round_up(max(1, batch_size), 8))
 
+    if params.device_construct:
+        # device batches are bounded by HBM: the construction plane is
+        # (sig+1) x docs bytes (a byte per document)
+        from cobs_tpu.settings import settings
+        cap = (settings.max_device_index_bytes // 2
+               // (params.signature_size + 1))
+        batch_size = min(batch_size, max(8, cap // 8 * 8))
+        # device dispatches serialize; host parallelism comes from the
+        # native hashing kernels inside the builder
+        num_threads = 1
+
     num_batches = (doc_list.size() + batch_size - 1) // batch_size
 
     def process(batch_num, entries, out_file):
@@ -73,9 +100,18 @@ def classic_construct_from_documents(
             file_names=[e.name for e in entries])
         thr_t = Timer()
         thr_t.active("process")
-        data = build_batch_matrix(
-            entries, params.signature_size, header.row_size,
-            params.term_size, params.num_hashes, params.canonicalize, _log)
+        if params.device_construct:
+            from cobs_tpu.construct.device import \
+                build_batch_matrix_device
+            data = build_batch_matrix_device(
+                entries, params.signature_size, header.row_size,
+                params.term_size, params.num_hashes,
+                params.canonicalize, _log, mesh=_construct_mesh())
+        else:
+            data = build_batch_matrix(
+                entries, params.signature_size, header.row_size,
+                params.term_size, params.num_hashes,
+                params.canonicalize, _log)
         thr_t.active("write")
         fmt_classic.write_classic_index(out_path, header, data)
         thr_t.stop()

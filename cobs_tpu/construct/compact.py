@@ -149,7 +149,8 @@ def compact_construct(doc_list: DocumentList, index_file, tmp_path=None,
             num_threads=-(-params.num_threads // num_threads),
             log_prefix=f"[{pad_index(batch_num, 2)}/"
                        f"{pad_index(num_pages, 2)}] ",
-            keep_temporary=params.keep_temporary)
+            keep_temporary=params.keep_temporary,
+            device_construct=params.device_construct)
         batch_list = DocumentList(entries=entries)
         classic_construct_from_documents(
             batch_list, tmp_path / pad_index(iteration) /

@@ -38,6 +38,10 @@ class ClassicIndexParameters:
     clobber: bool = False
     continue_: bool = False
     keep_temporary: bool = False
+    #: build batch bit matrices on the device (optionally sharded across
+    #: a ("batch", "docs") mesh) instead of in native host threads;
+    #: output stays byte-identical (TPU addition, no reference analog)
+    device_construct: bool = False
 
 
 @dataclasses.dataclass
@@ -52,3 +56,6 @@ class CompactIndexParameters:
     clobber: bool = False
     continue_: bool = False
     keep_temporary: bool = False
+    #: see ClassicIndexParameters.device_construct (applies to the
+    #: nested per-page classic constructions)
+    device_construct: bool = False

@@ -22,6 +22,9 @@ class Settings:
     #! instead of residing fully in device HBM
     max_device_index_bytes: int = int(os.environ.get(
         "COBS_TPU_DEVICE_INDEX_BYTES", 8 << 30))
+    #! mesh for device-side construction (None = all devices on the
+    #! docs axis when more than one device is present)
+    construct_mesh: object = None
 
 
 settings = Settings()
