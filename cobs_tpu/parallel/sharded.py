@@ -48,6 +48,10 @@ def make_mesh(n_batch: int = 1, n_docs: int | None = None,
         devices = jax.devices()
     if n_docs is None:
         n_docs = len(devices) // n_batch
+    if n_batch * n_docs > len(devices):
+        raise ValueError(
+            f"mesh needs {n_batch * n_docs} devices, only "
+            f"{len(devices)} available")
     if n_batch * n_docs != len(devices):
         devices = devices[: n_batch * n_docs]
     dev_array = np.asarray(devices).reshape(n_batch, n_docs)
@@ -59,7 +63,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 class ShardedIndex:
-    """A DeviceIndex re-laid-out across a ("batch", "docs") mesh.
+    """An index re-laid-out across a ("batch", "docs") mesh.
+
+    Accepts a DeviceIndex (HBM-resident, re-sharded) or a StreamedIndex
+    (host/disk-resident): in the streamed case each chip's word-column
+    slice is read from the memory-mapped payload and uploaded directly
+    to that chip, so an index **larger than one chip's HBM** becomes
+    queryable as long as it fits the mesh's combined HBM.
 
     The word axis is padded so every "docs" shard gets an equal,
     lane-aligned slice; padding words read as zero and the corresponding
@@ -68,46 +78,95 @@ class ShardedIndex:
     reference: cobs/construction/compact_index.cpp:137-150).
     """
 
-    def __init__(self, index: DeviceIndex, mesh: Mesh,
-                 word_align: int = 128):
+    def __init__(self, index, mesh: Mesh, word_align: int = 128):
         self.mesh = mesh
         self.index = index
         n_docs = mesh.shape["docs"]
         W = index.word_width
         align = max(1, word_align) * n_docs
         self.word_width = _round_up(W, align)
-        host = np.asarray(index.matrix)  # [total_rows+1, W] u32
-        if self.word_width != W:
-            host = np.pad(host, ((0, 0), (0, self.word_width - W)))
-        # compact pages are already stacked row-wise at uniform width by
-        # DeviceIndex, so one word-axis shard spec covers classic (P=1)
-        # and compact (P>1) alike; per-page rows stay addressed through
-        # index.row_offsets.
         sharding = NamedSharding(mesh, P(None, "docs"))
-        self.matrix = jax.device_put(host, sharding)
+        if hasattr(index, "matrix"):          # DeviceIndex
+            host = np.asarray(index.matrix)   # [total_rows+1, W] u32
+            if self.word_width != W:
+                host = np.pad(host, ((0, 0), (0, self.word_width - W)))
+            # compact pages are already stacked row-wise at uniform
+            # width by DeviceIndex, so one word-axis shard spec covers
+            # classic (P=1) and compact (P>1) alike; per-page rows stay
+            # addressed through index.row_offsets.
+            self.matrix = jax.device_put(host, sharding)
+        else:                                 # StreamedIndex
+            self.matrix = _upload_streamed_sharded(
+                index, sharding, self.word_width)
+        self._topk_mask = None
 
     @property
     def zero_row(self) -> int:
         return self.matrix.shape[0] - 1
 
-    def score_batch(self, hashes_list) -> np.ndarray:
-        """Score a batch of queries (uint64 [T, h] raw hashes each)
-        across the mesh; returns int32 [B, counts_size] exactly like the
-        single-chip ``engine.score_batch``."""
+    def _rows_idx(self, hashes_list) -> np.ndarray:
         from cobs_tpu.query.engine import _bucket  # late: avoid cycle
         ix = self.index
-        B = len(hashes_list)
         n_batch = self.mesh.shape["batch"]
-        B_pad = _round_up(max(B, n_batch), n_batch)
+        B_pad = _round_up(max(len(hashes_list), n_batch), n_batch)
         T_max = _bucket(max(h.shape[0] for h in hashes_list))
         rows_idx = np.full((B_pad, T_max, ix.num_hashes, ix.num_pages),
                            self.zero_row, dtype=np.int32)
         for b, hs in enumerate(hashes_list):
             rows_idx[b, :hs.shape[0]] = ix.row_indices(hs)
+        return rows_idx
+
+    def score_batch(self, hashes_list) -> np.ndarray:
+        """Score a batch of queries (uint64 [T, h] raw hashes each)
+        across the mesh; returns int32 [B, counts_size] exactly like the
+        single-chip ``engine.score_batch``."""
+        rows_idx = self._rows_idx(hashes_list)
         scores = score_sharded(self.mesh, self.matrix,
-                               jnp.asarray(rows_idx), ix.num_hashes)
+                               jnp.asarray(rows_idx),
+                               self.index.num_hashes)
         return assemble_scores(jax.block_until_ready(scores),
-                               ix.docs_per_page)[:B]
+                               self.index.docs_per_page)[:len(hashes_list)]
+
+    def score_topk(self, hashes_list, k: int):
+        """Sharded top-k: each "docs" shard ranks its own documents with
+        lax.top_k (a document's full score is shard-local, so per-shard
+        winners cover the global top-k); only [B, shards*k] candidate
+        pairs leave the device, merged on the host with the reference's
+        (score desc, doc asc) tie order (reference:
+        cobs/query/classic_search.cpp:140-144).
+
+        Returns (scores i32 [B, k], doc_numbers i64 [B, k]) in the same
+        score-slot numbering as engine.score_topk; padding slots carry
+        score -1 and must be dropped by the caller.
+        """
+        from cobs_tpu.query.engine import _doc_valid_mask
+        ix = self.index
+        B = len(hashes_list)
+        rows_idx = self._rows_idx(hashes_list)
+        if self._topk_mask is None:
+            mask = _doc_valid_mask(ix.num_pages, self.word_width,
+                                   ix.docs_per_page, len(ix.file_names))
+            mask = mask.reshape(ix.num_pages, self.word_width, 32)
+            self._topk_mask = jax.device_put(
+                mask, NamedSharding(self.mesh, P(None, "docs", None)))
+        W32 = self.word_width * 32
+        k_eff = min(k, W32 // self.mesh.shape["docs"] * ix.num_pages)
+        vals, gidx = _topk_sharded(self.mesh, self.matrix,
+                                   jnp.asarray(rows_idx),
+                                   self._topk_mask, ix.num_hashes, k_eff)
+        vals = np.asarray(jax.block_until_ready(vals))[:B]
+        gidx = np.asarray(gidx)[:B]
+        # merge the per-shard candidate lists per query
+        out_v = np.full((B, min(k, vals.shape[1])), -1, dtype=np.int64)
+        out_d = np.zeros_like(out_v)
+        doc_numbers = ((gidx // W32) * ix.docs_per_page
+                       + gidx % W32).astype(np.int64)
+        for b in range(B):
+            order = np.lexsort((doc_numbers[b], -vals[b].astype(np.int64)))
+            order = order[:out_v.shape[1]]
+            out_v[b] = vals[b][order]
+            out_d[b] = doc_numbers[b][order]
+        return out_v, out_d
 
 
 def score_sharded(mesh: Mesh, matrix: jax.Array, rows_idx: jax.Array,
@@ -137,6 +196,79 @@ def score_sharded(mesh: Mesh, matrix: jax.Array, rows_idx: jax.Array,
         local, mesh=mesh,
         in_specs=(P(None, "docs"), P("batch", None, None, None)),
         out_specs=P("batch", None, "docs", None))(matrix, rows_idx)
+
+
+def _topk_sharded(mesh: Mesh, matrix: jax.Array, rows_idx: jax.Array,
+                  valid_mask: jax.Array, num_hashes: int, k: int):
+    """Per-shard gather-AND-count + local top-k.
+
+    valid_mask: bool [pages, W, 32] sharded P(None, "docs", None).
+    Returns (vals i32 [B, shards*k], global_flat_idx i32 [B, shards*k])
+    where the flat index runs over the page-major [pages, W, 32] score
+    layout (matching engine.score_topk's numbering).
+    """
+
+    def local(mat, idx, mask):
+        g = jnp.take(mat, idx, axis=0)               # [Bl, T, h, Pp, Wl]
+        anded = g[:, :, 0]
+        for j in range(1, num_hashes):
+            anded = anded & g[:, :, j]
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        bits = (anded[..., None] >> shifts) & jnp.uint32(1)
+        scores = jnp.sum(bits.astype(jnp.int32), axis=1)  # [Bl,Pp,Wl,32]
+        Bl, Pp, Wl, _ = scores.shape
+        flat = jnp.where(mask, scores, -1).reshape(Bl, Pp * Wl * 32)
+        vals, lidx = jax.lax.top_k(flat, k)
+        # local flat index -> global [pages, W_global, 32] flat index
+        w0 = lax.axis_index("docs") * Wl
+        W_glob = Wl * lax.axis_size("docs")
+        p = lidx // (Wl * 32)
+        r = lidx % (Wl * 32)
+        gidx = p * (W_glob * 32) + (w0 * 32 + r)
+        return vals, gidx.astype(jnp.int32)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "docs"), P("batch", None, None, None),
+                  P(None, "docs", None)),
+        out_specs=(P("batch", "docs"), P("batch", "docs")))(
+            matrix, rows_idx, valid_mask)
+
+
+def _upload_streamed_sharded(streamed, sharding, word_width: int):
+    """Upload a StreamedIndex's payload directly shard-by-shard.
+
+    Each device receives only its own word-column slice, read from the
+    memory-mapped file — the full matrix never materializes on any one
+    host buffer or chip, so indexes larger than a single chip's HBM
+    load as long as the mesh's combined HBM holds them.
+    """
+    R1 = int(streamed.total_rows) + 1
+    shape = (R1, word_width)
+    row_bytes = streamed._row_bytes
+
+    built: dict[tuple, np.ndarray] = {}
+    arrays = []
+    for dev, idx in sharding.addressable_devices_indices_map(
+            shape).items():
+        col = idx[1]
+        c0 = 0 if col.start is None else col.start
+        c1 = word_width if col.stop is None else col.stop
+        key = (c0, c1)
+        if key not in built:
+            Wl = c1 - c0
+            shard = np.zeros((R1, Wl * 4), dtype=np.uint8)
+            b0, b1 = c0 * 4, min(c1 * 4, row_bytes)
+            if b1 > b0:
+                r = 0
+                for mm in streamed._mms:
+                    n = mm.shape[0]
+                    shard[r:r + n, :b1 - b0] = mm[:, b0:b1]
+                    r += n
+            built[key] = np.ascontiguousarray(shard).view("<u4")
+        arrays.append(jax.device_put(built[key], dev))
+    return jax.make_array_from_single_device_arrays(
+        shape, sharding, arrays)
 
 
 def scatter_step(mesh: Mesh, matrix: jax.Array, rows: jax.Array,

@@ -94,10 +94,8 @@ class Search:
         self._sharded = None
         if mesh is not None:
             from cobs_tpu.parallel.sharded import ShardedIndex
-            for ix in self.index_files:
-                if isinstance(ix, StreamedIndex):
-                    raise ValueError(
-                        "sharded meshes require device-resident indices")
+            # StreamedIndex inputs upload shard-by-shard: indexes larger
+            # than one chip's HBM spread over the mesh's combined HBM
             self._sharded = [ShardedIndex(ix, mesh)
                              for ix in self.index_files]
         self.timer_ = Timer()
@@ -142,14 +140,22 @@ class Search:
                       num_results) -> list[list[SearchResult]]:
         """Device stage + ranking for a pre-hashed batch."""
         B = len(qbytes)
-        if num_results > 0 and self._sharded is None:
-            # top-k fast path: only [B, k] (score, doc) pairs cross the
-            # device-to-host link instead of full score vectors
-            per_index = [
-                ix.score_topk(hashed[k], num_results, self.timer_)
-                if isinstance(ix, StreamedIndex)
-                else score_topk(ix, hashed[k], num_results, self.timer_)
-                for k, ix in enumerate(self.index_files)]
+        if num_results > 0:
+            # top-k fast path: only [B, k]-shaped (score, doc) pairs
+            # cross the device-to-host link instead of full score
+            # vectors ([B, shards*k] candidates when sharded)
+            if self._sharded is not None:
+                self.timer_.active("io")
+                per_index = [sh.score_topk(hashed[k], num_results)
+                             for k, sh in enumerate(self._sharded)]
+                self.timer_.stop()
+            else:
+                per_index = [
+                    ix.score_topk(hashed[k], num_results, self.timer_)
+                    if isinstance(ix, StreamedIndex)
+                    else score_topk(ix, hashed[k], num_results,
+                                    self.timer_)
+                    for k, ix in enumerate(self.index_files)]
             self.timer_.active("sort results")
             out = []
             for b in range(B):
