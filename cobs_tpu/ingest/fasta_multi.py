@@ -6,8 +6,10 @@ Byte offsets of each sub-document are cached to ``<file>.cobs_cache``
 u64 pos_begin, name + '\\0') and in a process-wide in-memory cache.
 """
 
+import collections
 import os
 import struct
+import threading
 
 import numpy as np
 
@@ -16,6 +18,29 @@ from cobs_tpu.ingest.util import sliding_windows
 
 #: process-wide index cache: path -> list of (name, pos_begin, size)
 _INDEX_CACHE: dict[str, list[tuple[str, int, int]]] = {}
+
+#: per-thread LRU of open file handles — a construction pass over a
+#: 10k-sub-document .mfasta seeks within one handle instead of paying
+#: 10k opens (reference: cobs/fasta_multifile.hpp:91-141,
+#: ThreadObjectArray + ifstream LRU)
+_LOCAL = threading.local()
+_MAX_HANDLES = 64
+
+
+def _thread_handle(path: str):
+    cache = getattr(_LOCAL, "handles", None)
+    if cache is None:
+        cache = _LOCAL.handles = collections.OrderedDict()
+    f = cache.get(path)
+    if f is not None and not f.closed:
+        cache.move_to_end(path)
+        return f
+    f = open(path, "rb")
+    cache[path] = f
+    if len(cache) > _MAX_HANDLES:
+        _, old = cache.popitem(last=False)
+        old.close()
+    return f
 
 
 class FastaMultifile:
@@ -102,17 +127,19 @@ class FastaMultifile:
         return self.index[doc_index][2]
 
     def subdoc_sequence(self, doc_index: int) -> np.ndarray:
-        """Concatenated sequence bytes of one sub-document."""
+        """Concatenated sequence bytes of one sub-document (read via
+        the per-thread handle LRU; reference:
+        cobs/fasta_multifile.hpp:41-64)."""
         if doc_index >= len(self.index):
             return np.empty(0, dtype=np.uint8)
         _, pos_begin, _ = self.index[doc_index]
         parts = []
-        with open(self.path, "rb") as f:
-            f.seek(pos_begin)
-            for line in f:
-                if line.startswith((b">", b";")):
-                    break
-                parts.append(line.rstrip(b"\n"))
+        f = _thread_handle(self.path)
+        f.seek(pos_begin)
+        for line in f:
+            if line.startswith((b">", b";")):
+                break
+            parts.append(line.rstrip(b"\n"))
         return np.frombuffer(b"".join(parts), dtype=np.uint8)
 
     def term_windows(self, doc_index: int, term_size: int):
