@@ -54,3 +54,44 @@ def test_pallas_rejects_unpadded_T():
     rows_idx = jnp.zeros((1, CHUNK - 1, 1, 1), jnp.int32)
     with pytest.raises(ValueError, match="multiple"):
         gather_and_count_pallas(matrix, rows_idx, 1, interpret=True)
+
+
+class TestDmaGather:
+    """Batched-DMA row gather (ops/dma_gather.py) vs matrix[rows]."""
+
+    def test_exact(self, rng):
+        from cobs_tpu.ops.dma_gather import dma_gather_rows
+        matrix = rng.integers(0, 1 << 32, size=(512, 384),
+                              dtype=np.uint64).astype(np.uint32)
+        rows = rng.integers(0, 512, size=96).astype(np.int32)
+        got = np.asarray(dma_gather_rows(
+            jnp.asarray(matrix), jnp.asarray(rows), group=16,
+            interpret=True))
+        np.testing.assert_array_equal(got, matrix[rows])
+
+    def test_multi_call_split(self, rng):
+        """N larger than one pallas_call's scalar-prefetch budget."""
+        import cobs_tpu.ops.dma_gather as dg
+        matrix = rng.integers(0, 1 << 32, size=(64, 128),
+                              dtype=np.uint64).astype(np.uint32)
+        rows = rng.integers(0, 64, size=64).astype(np.int32)
+        old = dg._IDX_SMEM_BUDGET
+        dg._IDX_SMEM_BUDGET = 32 * 4  # 32 indices per call -> 2 calls
+        try:
+            got = np.asarray(dg.dma_gather_rows(
+                jnp.asarray(matrix), jnp.asarray(rows), group=8,
+                interpret=True))
+        finally:
+            dg._IDX_SMEM_BUDGET = old
+        np.testing.assert_array_equal(got, matrix[rows])
+
+    def test_rejects_bad_shapes(self):
+        from cobs_tpu.ops.dma_gather import dma_gather_rows
+        matrix = jnp.zeros((8, 128), jnp.uint32)
+        with pytest.raises(ValueError, match="multiple of group"):
+            dma_gather_rows(matrix, jnp.zeros(13, jnp.int32), group=8,
+                            interpret=True)
+        with pytest.raises(ValueError, match="128 lanes"):
+            dma_gather_rows(jnp.zeros((8, 64), jnp.uint32),
+                            jnp.zeros(8, jnp.int32), group=8,
+                            interpret=True)
