@@ -379,15 +379,35 @@ def classic_construct_random(out_file, signature_size: int = 2 * 1024 * 1024,
         num_hashes=num_hashes, file_names=file_names)
     data = np.zeros((signature_size, header.row_size), dtype=np.uint8)
 
+    from concurrent.futures import ThreadPoolExecutor
+
     from cobs_tpu.construct.bitmatrix import doc_row_indices, set_bits
+    from cobs_tpu.settings import settings
 
     t.active("generate")
-    for i in range(num_documents):
-        packed = kmer_codec.random_packed(document_size, term_size, rng)
-        packed = kmer_codec.canonicalize_packed(packed, term_size)
-        windows = kmer_codec.decode(packed, term_size)
-        rows, _ = doc_row_indices(windows, signature_size, num_hashes, 1)
-        set_bits(data, rows, i)
+
+    # octet groups: docs 8i..8i+7 share one byte column of `data`, so
+    # groups never race; within a group the docs run serially. The
+    # native hashing kernel releases the GIL, so a thread pool gives
+    # real parallelism (same scheme as classic_construct_from_documents).
+    def do_octet(g, seed_g):
+        grng = np.random.default_rng(seed_g)
+        for i in range(8 * g, min(8 * g + 8, num_documents)):
+            packed = kmer_codec.random_packed(document_size, term_size,
+                                              grng)
+            windows = kmer_codec.decode(packed, term_size)
+            # canonicalization happens inside doc_row_indices
+            # (canonicalize=1) — in native C++ when available;
+            # canonicalize() is idempotent so pre-canonicalizing the
+            # packed k-mers here would only repeat the work in Python
+            rows, _ = doc_row_indices(windows, signature_size,
+                                      num_hashes, 1)
+            set_bits(data, rows, i)
+
+    n_groups = -(-num_documents // 8)
+    seeds = rng.integers(0, 1 << 62, size=n_groups)
+    with ThreadPoolExecutor(max_workers=max(1, settings.threads)) as ex:
+        list(ex.map(do_octet, range(n_groups), seeds))
 
     t.active("write")
     fmt_classic.write_classic_index(out_file, header, data)
