@@ -95,6 +95,10 @@ def lib():
                 L.cobs_gather_rows.argtypes = [p8, i64, pi64, i64, p8,
                                                i64, i32]
                 L.cobs_gather_rows.restype = None
+                pi32 = ctypes.POINTER(ctypes.c_int32)
+                L.cobs_score_batch.argtypes = [p8, i64, pi64, i64, i64,
+                                               i64, i64, i64, pi32, i32]
+                L.cobs_score_batch.restype = None
                 _lib = L
             except OSError as e:
                 print(f"cobs_tpu: native load failed ({e}); "
@@ -171,6 +175,33 @@ def set_bits(data, rows, doc_index: int):
     L.cobs_set_bits(_ptr8(data), data.shape[1], _ptr64(rows),
                     rows.size, doc_index)
     return True
+
+
+def score_batch_host(base, row_bytes: int, rows, zero_id: int,
+                     num_threads: int):
+    """Host-side batched scoring over a contiguous mmap'd payload.
+
+    base: uint8 [total_rows, row_bytes] (typically an np.memmap);
+    rows: int64 [B, T, h, P] global row ids (zero_id = padding term).
+    Returns int32 [B, P * 8 * row_bytes] scores, or None when the
+    native library is unavailable.
+    """
+    import numpy as np
+
+    L = lib()
+    if L is None or not hasattr(L, "cobs_score_batch"):
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    B, T, h, P = rows.shape
+    out = np.empty((B, P * 8 * row_bytes), dtype=np.int32)
+    L.cobs_score_batch(
+        base.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        row_bytes,
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        B, T, h, P, zero_id,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        num_threads)
+    return out
 
 
 def gather_rows(base, row_bytes: int, rows, out, num_threads: int):

@@ -339,4 +339,84 @@ void cobs_gather_rows(const uint8_t* base, int64_t row_bytes,
     for (auto& th : pool) th.join();
 }
 
+// Host-side batched scoring for the streamed (mmap) backend — the
+// TPU framework's equivalent of the reference's expansion-add hot loop
+// (reference: cobs/query/classic_search.cpp:279-401; SSE2 expand
+// tables there, set-bit iteration here). Used when shipping gathered
+// rows to the device would cost more than scoring them in place.
+//
+// rows: [B, T, h, P] global row ids into the payload at `base`
+// ([total_rows, row_bytes] contiguous, pages back to back). Row id ==
+// zero_id marks a padding term (virtual all-zero row: its AND
+// contributes nothing, so the term is skipped). out: i32
+// [B, P * 8 * row_bytes] zero-initialized by this kernel; page-major,
+// in-page document id = byte * 8 + bit (LSB-first bit layout).
+void cobs_score_batch(const uint8_t* base, int64_t row_bytes,
+                      const int64_t* rows, int64_t B, int64_t T,
+                      int64_t h, int64_t P, int64_t zero_id,
+                      int32_t* out, int32_t num_threads) {
+    const int64_t page_slots = 8 * row_bytes;
+    auto work = [&](int64_t b_lo, int64_t b_hi) {
+        std::vector<const uint8_t*> rp(static_cast<size_t>(h));
+        for (int64_t b = b_lo; b < b_hi; ++b) {
+            int32_t* out_b = out + b * P * page_slots;
+            std::memset(out_b, 0,
+                        static_cast<size_t>(P * page_slots) * 4);
+            const int64_t* rb = rows + b * T * h * P;
+            for (int64_t t = 0; t < T; ++t) {
+                for (int64_t p = 0; p < P; ++p) {
+                    bool pad = false;
+                    for (int64_t j = 0; j < h; ++j) {
+                        int64_t r = rb[(t * h + j) * P + p];
+                        if (r == zero_id) { pad = true; break; }
+                        rp[static_cast<size_t>(j)] =
+                            base + r * row_bytes;
+                    }
+                    if (pad) continue;
+                    int32_t* sc = out_b + p * page_slots;
+                    int64_t i = 0;
+                    for (; i + 8 <= row_bytes; i += 8) {
+                        uint64_t w;
+                        std::memcpy(&w, rp[0] + i, 8);
+                        for (int64_t j = 1; j < h; ++j) {
+                            uint64_t w2;
+                            std::memcpy(&w2, rp[static_cast<size_t>(j)]
+                                        + i, 8);
+                            w &= w2;
+                        }
+                        int32_t* s8 = sc + i * 8;
+                        while (w) {
+                            s8[__builtin_ctzll(w)]++;
+                            w &= w - 1;
+                        }
+                    }
+                    for (; i < row_bytes; ++i) {
+                        uint32_t v = rp[0][i];
+                        for (int64_t j = 1; j < h; ++j)
+                            v &= rp[static_cast<size_t>(j)][i];
+                        int32_t* s8 = sc + i * 8;
+                        while (v) {
+                            s8[__builtin_ctz(v)]++;
+                            v &= v - 1;
+                        }
+                    }
+                }
+            }
+        }
+    };
+    if (num_threads < 1) num_threads = 1;
+    if (num_threads == 1 || B == 1) {
+        work(0, B);
+        return;
+    }
+    std::vector<std::thread> pool;
+    int64_t per = (B + num_threads - 1) / num_threads;
+    for (int32_t t = 0; t < num_threads; ++t) {
+        int64_t lo = t * per, hi = lo + per < B ? lo + per : B;
+        if (lo >= hi) break;
+        pool.emplace_back(work, lo, hi);
+    }
+    for (auto& th : pool) th.join();
+}
+
 }  // extern "C"

@@ -441,6 +441,7 @@ class StreamedIndex:
             with open(path, "rb") as f:
                 h = fmt_classic.ClassicIndexHeader.deserialize(f)
                 off = f.tell()
+            payload_off = off
             self.term_size = h.term_size
             self.canonicalize = h.canonicalize
             self.num_hashes = h.num_hashes
@@ -454,6 +455,7 @@ class StreamedIndex:
                                         dtype=np.uint64)
         elif fmt_compact.is_compact_file(path):
             h, off = fmt_compact.read_compact_header(path)
+            payload_off = off
             if not h.parameters:
                 raise FileIOError("compact index has no pages")
             num_hashes = h.parameters[0].num_hashes
@@ -485,6 +487,12 @@ class StreamedIndex:
             acc += mm.shape[0]
         self.row_offsets = offs
         self.total_rows = acc
+        # one contiguous view over all pages (they are back to back in
+        # the file, all with the same row stride): what the native
+        # host-scoring kernel indexes with global row ids
+        self._payload = np.memmap(path, dtype=np.uint8, mode="r",
+                                  offset=payload_off,
+                                  shape=(acc, self._row_bytes))
 
     @property
     def num_pages(self) -> int:
@@ -515,6 +523,63 @@ class StreamedIndex:
             os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
         finally:
             os.close(fd)
+
+    def _host_score(self):
+        """True when scoring should run in the native host kernel
+        instead of uploading gathered rows to the device.
+
+        The streamed regime reads ~|batch| * T * h * row_bytes of rows
+        per batch; shipping them host->device costs at least as much
+        traffic as the expansion-add work itself, so the native kernel
+        (the analog of the reference's SSE2 expand loop, reference:
+        cobs/query/classic_search.cpp:279-401) is the default whenever
+        it is available. settings.streamed_host_score: "host" /
+        "device" / "auto".
+        """
+        from cobs_tpu import native
+        from cobs_tpu.settings import settings
+
+        mode = str(settings.streamed_host_score).lower()
+        if mode in ("device", "0", "false"):
+            return False
+        if mode in ("host", "1", "true"):
+            if native.lib() is None:
+                raise FileIOError(
+                    "streamed_host_score=host but the native library "
+                    "is unavailable")
+            return True
+        return native.lib() is not None
+
+    def _rows_global(self, hashes_list):
+        """int64 [B, T_max, h, P] global row ids; padding terms point
+        at the virtual zero row (id == total_rows)."""
+        B = len(hashes_list)
+        T_max = max(h.shape[0] for h in hashes_list)
+        P = self.num_pages
+        h = self.num_hashes
+        rows_idx = np.full((B, T_max, h, P), self.total_rows,
+                           dtype=np.int64)
+        for b, hs in enumerate(hashes_list):
+            rows_idx[b, :hs.shape[0]] = self.row_indices(hs)
+        return rows_idx
+
+    def _score_batch_host(self, hashes_list, timer: Timer | None):
+        """Fused gather/AND/expand-add in the native kernel, straight
+        off the mmap'd payload (no device round trip)."""
+        from cobs_tpu import native
+        from cobs_tpu.settings import settings
+
+        rows_idx = self._rows_global(hashes_list)
+        if timer:
+            timer.active("and rows")
+        scores = native.score_batch_host(
+            self._payload, self._row_bytes, rows_idx, self.total_rows,
+            max(1, settings.threads))
+        if timer:
+            timer.stop()
+        if scores is None:  # native vanished between check and call
+            raise FileIOError("native host scoring unavailable")
+        return scores
 
     def _prepare(self, hashes_list, timer: Timer | None):
         """Host stage: gather the touched rows, build remapped indices.
@@ -570,6 +635,11 @@ class StreamedIndex:
                     ) -> np.ndarray:
         """int32 [B, counts_size]; exact same contract as score_batch."""
         B = len(hashes_list)
+        if self._host_score():
+            out = self._score_batch_host(hashes_list, timer)
+            if self._drop_cache:
+                self.drop_cache()
+            return out
         gmat, remapped, T_max = self._prepare(hashes_list, timer)
         if timer:
             timer.active("and rows")
@@ -595,8 +665,33 @@ class StreamedIndex:
     def score_topk(self, hashes_list, k: int,
                    timer: Timer | None = None):
         """Top-k scoring on the streamed backend; same contract as
-        engine.score_topk (only [B, k] pairs cross from the device)."""
+        engine.score_topk (only [B, k] pairs cross from the device).
+
+        With host scoring active there is no transfer to save; the
+        top-k select runs on the host with the same (score desc,
+        doc asc) tie order and -1 padding contract."""
         B = len(hashes_list)
+        if self._host_score():
+            scores = self._score_batch_host(hashes_list, timer)
+            if self._drop_cache:
+                self.drop_cache()
+            n = len(self.file_names)
+            kk = min(k, n)
+            s = scores[:, :n].astype(np.int64)
+            # single combined key (score desc, slot asc) so boundary
+            # ties select deterministically, matching lax.top_k's
+            # prefer-lower-index rule
+            key = s * n - np.arange(n)[None, :]
+            vals = np.full((B, k), -1, dtype=np.int32)
+            docs = np.zeros((B, k), dtype=np.int64)
+            for b in range(B):
+                cand = (np.argpartition(-key[b], kk - 1)[:kk]
+                        if kk < n else np.arange(n))
+                order = cand[np.argsort(-key[b][cand],
+                                        kind="stable")]
+                vals[b, :kk] = s[b][order]
+                docs[b, :kk] = order
+            return vals, docs
         gmat, remapped, _ = self._prepare(hashes_list, timer)
         mask = getattr(self, "_valid_mask_dev", None)
         if mask is None:

@@ -25,6 +25,13 @@ class Settings:
     #! mesh for device-side construction (None = all devices on the
     #! docs axis when more than one device is present)
     construct_mesh: object = None
+    #! where the streamed (host-mmap) backend scores gathered rows:
+    #! "host" = native expansion-add kernel, "device" = upload + device
+    #! gather/count, "auto" = host when the native library is available
+    #! (the rows touched per batch rival the score work itself, so
+    #! paying a host->device upload per batch usually loses)
+    streamed_host_score: str = os.environ.get(
+        "COBS_TPU_STREAMED_SCORE", "auto")
 
 
 settings = Settings()

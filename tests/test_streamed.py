@@ -48,16 +48,45 @@ def _mk(tmp_path, fasta_dir, kind):
     return idx
 
 
+@pytest.mark.parametrize("score_mode", ["host", "device"])
 @pytest.mark.parametrize("kind", ["classic", "compact"])
-def test_streamed_scores_match_device(tmp_path, fasta_dir, kind):
+def test_streamed_scores_match_device(tmp_path, fasta_dir, kind,
+                                      score_mode, monkeypatch):
     idx = _mk(tmp_path, fasta_dir, kind)
     dev = DeviceIndex.from_file(idx)
     st = StreamedIndex(idx)
+    monkeypatch.setattr(settings, "streamed_host_score", score_mode)
     queries = [GOLDEN_QUERY.encode(), GOLDEN_QUERY[3:].encode()]
     hashes = create_hashes(queries, dev.term_size, dev.num_hashes,
                            dev.canonicalize)
     np.testing.assert_array_equal(st.score_batch(hashes),
                                   score_batch(dev, hashes))
+
+
+@pytest.mark.parametrize("kind", ["classic", "compact"])
+def test_host_and_device_streamed_agree_random(tmp_path, fasta_dir,
+                                               kind, monkeypatch):
+    """Randomized queries: the native expansion-add kernel and the
+    upload+device path must be bit-identical."""
+    idx = _mk(tmp_path, fasta_dir, kind)
+    st = StreamedIndex(idx)
+    rng = np.random.default_rng(5)
+    # raw unmodded u64 hashes, varying term counts incl. > 64
+    hashes = [rng.integers(0, 1 << 63, size=(t, st.num_hashes),
+                           dtype=np.uint64)
+              for t in (1, 7, 130)]
+    monkeypatch.setattr(settings, "streamed_host_score", "host")
+    got_host = st.score_batch(hashes)
+    monkeypatch.setattr(settings, "streamed_host_score", "device")
+    got_dev = st.score_batch(hashes)
+    np.testing.assert_array_equal(got_host, got_dev)
+    monkeypatch.setattr(settings, "streamed_host_score", "host")
+    vh, dh = st.score_topk(hashes, 5)
+    monkeypatch.setattr(settings, "streamed_host_score", "device")
+    vd, dd = st.score_topk(hashes, 5)
+    np.testing.assert_array_equal(vh, vd)
+    # doc order may differ only where scores are -1 padding
+    np.testing.assert_array_equal(dh[vh >= 0], dd[vd >= 0])
 
 
 def test_search_streamed_golden(tmp_path, fasta_dir):
