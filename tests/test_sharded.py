@@ -261,3 +261,15 @@ def test_search_mesh_streamed_end_to_end(tmp_path, rng):
         b = sm.search(q, 0.0, num_results)
         assert [(r.doc_name, r.score) for r in a] == \
                [(r.doc_name, r.score) for r in b]
+
+
+def test_benchmark_scaling_harness_smoke():
+    """The weak-scaling harness runs end-to-end on the virtual mesh and
+    reports sane numbers (VERDICT item 7: CI smoke of the harness)."""
+    from cobs_tpu.parallel.benchmark import benchmark_scaling
+
+    r = benchmark_scaling(n_devices=2, sig_size=1 << 10,
+                          docs_per_shard=64, B=2, T=64, iters=2)
+    assert set(r["per_n"]) == {1, 2}
+    assert all(q > 0 for q in r["per_n"].values())
+    assert r["efficiency"] is not None and r["efficiency"] > 0
