@@ -429,16 +429,15 @@ def cmd_benchmark_fpr(argv):
     counts: dict[int, int] = {}
     t0 = time.perf_counter()
     last_result = []
-    for i in range(0, len(queries), args.batch):
-        batch_results = s.search_batch(queries[i:i + args.batch])
-        if batch_results:
-            # reference parity: results= is the LAST query's hit count
-            # (reference: src/cobs.cpp:655)
-            last_result = batch_results[-1]
+    # the serving loop: overlapped hashing + a bounded in-flight device
+    # window (Search.search_stream)
+    for res_list in s.search_stream(queries, batch_size=args.batch):
+        # reference parity: results= is the LAST query's hit count
+        # (reference: src/cobs.cpp:655)
+        last_result = res_list
         if args.dist:
-            for res_list in batch_results:
-                for r in res_list:
-                    counts[r.score] = counts.get(r.score, 0) + 1
+            for r in res_list:
+                counts[r.score] = counts.get(r.score, 0) + 1
     elapsed = time.perf_counter() - t0
 
     t = s.timer()

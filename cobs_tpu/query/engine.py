@@ -371,6 +371,58 @@ def _shrink_scores(scores: jax.Array, t_max: int) -> jax.Array:
     return scores
 
 
+class PendingScores:
+    """Handle for a dispatched-but-unfetched device score batch.
+
+    Serving through a high-latency link (remote chips) is bound by the
+    per-batch dispatch + device-to-host fetch; keeping a *bounded*
+    number of batches in flight overlaps batch k's fetch with batch
+    k+1's device work. fetch() performs the real device-to-host
+    materialization (the only trustworthy sync on tunneled devices).
+    """
+
+    __slots__ = ("_dev", "_B")
+
+    def __init__(self, dev, B):
+        self._dev = dev
+        self._B = B
+
+    def fetch(self) -> np.ndarray:
+        scores = np.asarray(jax.block_until_ready(self._dev))[:self._B]
+        # restore the public int32 contract after the narrowed transfer
+        return scores.astype(np.int32, copy=False)
+
+
+def score_batch_async(index: DeviceIndex,
+                      hashes_list: list[np.ndarray],
+                      timer: Timer | None = None) -> PendingScores:
+    """Dispatch the fused gather/AND/count without fetching.
+
+    Returns a PendingScores whose fetch() yields the same int32
+    [B, counts_size] array as score_batch. At most a few of these
+    should be in flight at once (each holds a [B, counts] device
+    buffer, and unbounded async enqueue poisons tunneled devices).
+    """
+    B = len(hashes_list)
+    B_pad = _bucket(B)
+    T_max = _bucket(max(h.shape[0] for h in hashes_list))
+    P = index.num_pages
+    h = index.num_hashes
+
+    rows_idx = np.full((B_pad, T_max, h, P), index.zero_row,
+                       dtype=np.int32)
+    for b, hs in enumerate(hashes_list):
+        rows_idx[b, :hs.shape[0]] = index.row_indices(hs)
+    if timer:
+        timer.active("io")
+    scores = _gather_and_count(index.matrix, jnp.asarray(rows_idx),
+                               index.num_hashes)
+    scores = _shrink_scores(scores, T_max)
+    if timer:
+        timer.stop()
+    return PendingScores(scores, B)
+
+
 def score_batch(index: DeviceIndex, hashes_list: list[np.ndarray],
                 timer: Timer | None = None) -> np.ndarray:
     """Score a batch of queries against one index.

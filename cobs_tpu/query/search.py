@@ -23,6 +23,7 @@ from cobs_tpu.query.engine import (
     StreamedIndex,
     create_hashes,
     score_batch,
+    score_batch_async,
     score_topk,
 )
 from cobs_tpu.settings import settings
@@ -253,12 +254,22 @@ class Search:
         of `batch_size`; while the device scores and the main thread
         ranks batch k, a worker thread hashes batch k+1 (the native
         hashing kernels release the GIL, so this is real overlap).
+        For HBM-resident indexes a bounded window of score batches is
+        additionally kept in flight on the device, so batch k's
+        device-to-host fetch overlaps batch k+1's dispatch — the lever
+        that matters when the chip sits behind a high-latency link.
         Yields one `list[SearchResult]` per query, in order.
         """
+        import collections
         import concurrent.futures
         import itertools
 
         it = iter(queries)
+        pipelined = (self._sharded is None and num_results == 0 and
+                     all(isinstance(ix, DeviceIndex)
+                         for ix in self.index_files))
+        DEPTH = 2   # bounded: unbounded async enqueue poisons
+        # tunneled devices (see PendingScores)
 
         def hash_next():
             batch = list(itertools.islice(it, batch_size))
@@ -271,6 +282,23 @@ class Search:
             t = Timer()
             return qbytes, self._hash_batch(qbytes, t), t
 
+        def finish(qbytes, pending_scores):
+            self.timer_.active("add rows")
+            per_index_scores = [p.fetch() for p in pending_scores]
+            self.timer_.active("sort results")
+            out = []
+            total_docs = sum(len(ix.file_names)
+                             for ix in self.index_files)
+            for b in range(len(qbytes)):
+                thr = [math.ceil(threshold *
+                                 (len(qbytes[b]) - ix.term_size + 1))
+                       for ix in self.index_files]
+                out.append(self._rank(
+                    [s[b] for s in per_index_scores], thr, total_docs))
+            self.timer_.stop()
+            return out
+
+        inflight = collections.deque()
         with concurrent.futures.ThreadPoolExecutor(1) as pool:
             pending = pool.submit(hash_next)
             while True:
@@ -279,9 +307,21 @@ class Search:
                     break
                 self.timer_.merge(t)
                 pending = pool.submit(hash_next)
-                for res in self._score_ranked(qbytes, hashed,
-                                              threshold, num_results):
-                    yield res
+                if pipelined:
+                    # dispatch ahead; fetch stays on this thread — a
+                    # second thread doing device transfers concurrently
+                    # with dispatches wedged the remote-tunnel runtime
+                    scores = [score_batch_async(ix, hashed[k],
+                                                self.timer_)
+                              for k, ix in enumerate(self.index_files)]
+                    inflight.append((qbytes, scores))
+                    if len(inflight) > DEPTH:
+                        yield from finish(*inflight.popleft())
+                else:
+                    yield from self._score_ranked(
+                        qbytes, hashed, threshold, num_results)
+            while inflight:
+                yield from finish(*inflight.popleft())
 
     def _rank_sparse(self, topk_list, thresholds, num_results
                      ) -> list[SearchResult]:
