@@ -246,7 +246,7 @@ def classic_combine(in_dir, out_dir, mem_bytes: int, num_threads: int,
                             raw, dtype=np.uint8).reshape(this, rbytes))
                     out = _interleave_rows(mats, row_bits)
                     assert out.shape == (this, new_row_bytes)
-                    ofs.write(np.ascontiguousarray(out).tobytes())
+                    np.ascontiguousarray(out).tofile(ofs)
                     done_rows += this
             finally:
                 for s in streams:

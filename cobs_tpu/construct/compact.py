@@ -96,7 +96,7 @@ def compact_combine_into_compact(in_dir, out_file, page_size: int = 4096,
                                           dtype=np.uint8)
                         padded[:, :h.row_size] = rows
                         t.active("write")
-                        ofs.write(padded.tobytes())
+                        np.ascontiguousarray(padded).tofile(ofs)
                         t.active("copy")
                     done += nr
             t.stop()

@@ -79,7 +79,7 @@ def write_classic_index(path, header: ClassicIndexHeader,
     data = np.ascontiguousarray(data, dtype=np.uint8)
     with open(path, "wb") as f:
         header.serialize(f)
-        f.write(data.tobytes())
+        data.tofile(f)  # no 2nd in-memory copy of a multi-GB payload
 
 
 def read_classic_header(path) -> ClassicIndexHeader:

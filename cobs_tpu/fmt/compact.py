@@ -112,7 +112,7 @@ def write_compact_index(path, header: CompactIndexHeader,
         for p, page in zip(header.parameters, pages):
             page = np.ascontiguousarray(page, dtype=np.uint8)
             assert page.shape == (p.signature_size, header.page_size)
-            f.write(page.tobytes())
+            np.ascontiguousarray(page).tofile(f)
 
 
 def is_compact_file(path) -> bool:

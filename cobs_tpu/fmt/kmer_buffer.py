@@ -50,7 +50,7 @@ def write_kmer_buffer(path, name: str, kmer_size: int,
         path.parent.mkdir(parents=True, exist_ok=True)
     with open(path, "wb") as f:
         KMerBufferHeader(name=name, kmer_size=kmer_size).serialize(f)
-        f.write(np.ascontiguousarray(packed, dtype=np.uint8).tobytes())
+        np.ascontiguousarray(packed, dtype=np.uint8).tofile(f)
 
 
 def read_kmer_buffer(path) -> tuple[KMerBufferHeader, np.ndarray]:
