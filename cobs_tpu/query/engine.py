@@ -381,16 +381,32 @@ class PendingScores:
     materialization (the only trustworthy sync on tunneled devices).
     """
 
-    __slots__ = ("_dev", "_B")
+    __slots__ = ("_dev", "_B", "_num_pages", "_w32", "_docs_per_page")
 
-    def __init__(self, dev, B):
+    def __init__(self, dev, B, num_pages, word_width, docs_per_page):
         self._dev = dev
         self._B = B
+        self._num_pages = num_pages
+        self._w32 = word_width * 32
+        self._docs_per_page = docs_per_page
 
     def fetch(self) -> np.ndarray:
+        """int32 [B, counts_size]; the exact score_batch contract.
+
+        Strips the per-page word padding (scores come off the device in
+        the padded [B, P*W*32] layout); without the strip, doc numbering
+        is shifted for every page after the first whenever the page's
+        word width exceeds page_size/4 — the reference's global score
+        layout is 8*page_size slots per page with no word padding
+        (reference: cobs/query/classic_search.cpp:413-429).
+        """
         scores = np.asarray(jax.block_until_ready(self._dev))[:self._B]
         # restore the public int32 contract after the narrowed transfer
-        return scores.astype(np.int32, copy=False)
+        scores = scores.astype(np.int32, copy=False)
+        B, P, docs = self._B, self._num_pages, self._docs_per_page
+        return (scores[:, :docs] if P == 1 else
+                scores.reshape(B, P, self._w32)[:, :, :docs]
+                .reshape(B, P * docs))
 
 
 def score_batch_async(index: DeviceIndex,
@@ -420,7 +436,8 @@ def score_batch_async(index: DeviceIndex,
     scores = _shrink_scores(scores, T_max)
     if timer:
         timer.stop()
-    return PendingScores(scores, B)
+    return PendingScores(scores, B, index.num_pages, index.word_width,
+                         index.docs_per_page)
 
 
 def score_batch(index: DeviceIndex, hashes_list: list[np.ndarray],
@@ -431,38 +448,13 @@ def score_batch(index: DeviceIndex, hashes_list: list[np.ndarray],
     page-local doc id = word*32 + bit), matching the reference's 8-aligned
     score layout (reference: cobs/query/classic_search.cpp:413-429).
     """
-    B = len(hashes_list)
-    B_pad = _bucket(B)      # bucket the batch axis too: variable batch
-    # sizes (e.g. a stream's final partial batch) reuse the compiled
-    # program; padding queries point at the zero row
-    T_max = _bucket(max(h.shape[0] for h in hashes_list))
-    P = index.num_pages
-    h = index.num_hashes
-
-    rows_idx = np.full((B_pad, T_max, h, P), index.zero_row,
-                       dtype=np.int32)
-    for b, hs in enumerate(hashes_list):
-        rows_idx[b, :hs.shape[0]] = index.row_indices(hs)
-
     # phase accounting: the gather/AND/count are one fused device
     # dispatch, timed as "io" (it is gather-bound); the host-side score
     # materialization (dtype restore + padding strip) is "add rows"
-    if timer:
-        timer.active("io")
-    scores = _gather_and_count(index.matrix, jnp.asarray(rows_idx),
-                               index.num_hashes)
-    scores = _shrink_scores(scores, T_max)
-    scores = np.asarray(jax.block_until_ready(scores))[:B]
+    pending = score_batch_async(index, hashes_list, timer)
     if timer:
         timer.active("add rows")
-    # the transfer saving is realized on the fetch; restore the public
-    # int32 contract on the host
-    scores = scores.astype(np.int32, copy=False)
-    # strip per-page word padding: keep 8*page_size docs per page
-    W32 = index.word_width * 32
-    docs = index.docs_per_page
-    out = (scores[:, :docs] if P == 1 else
-           scores.reshape(B, P, W32)[:, :, :docs].reshape(B, P * docs))
+    out = pending.fetch()
     if timer:
         timer.stop()
     return out

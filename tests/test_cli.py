@@ -112,6 +112,43 @@ def test_search_stream_matches_batch(classic_index):
             [(r.doc_name, r.score) for r in b]
 
 
+def test_search_stream_multipage_compact(tmp_path):
+    """Regression: search_stream must apply the per-page word-padding
+    strip (PendingScores.fetch) — a multi-page compact index whose
+    page_size is not a multiple of 512 shifted every doc past page 0."""
+    import numpy as np
+
+    import cobs_tpu
+    from cobs_tpu.query.search import Search
+
+    rng = np.random.default_rng(7)
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    seqs = []
+    for i in range(24):
+        seq = bases[rng.integers(0, 4, size=150 + 31 * i)].tobytes()
+        seqs.append(seq)
+        (docs_dir / f"doc{i:03d}.fasta").write_bytes(
+            b">d\n" + seq + b"\n")
+    out = tmp_path / "multi.cobs_compact"
+    cobs_tpu.compact_construct(
+        cobs_tpu.DocumentList(docs_dir), out,
+        index_params=cobs_tpu.CompactIndexParameters(
+            clobber=True, page_size=1))
+    s = Search(str(out), streamed=False)
+    assert s.index_files[0].num_pages >= 3
+    # queries hitting docs across every page, plus unrelated noise
+    queries = [seqs[1][:60].decode(), seqs[10][20:90].decode(),
+               seqs[20][:50].decode(), GOLDEN, GOLDEN[5:]]
+    want = s.search_batch(queries, 0.0)
+    got = list(s.search_stream(iter(queries), 0.0, batch_size=2))
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        assert [(r.doc_name, r.score) for r in a] == \
+            [(r.doc_name, r.score) for r in b]
+
+
 def test_topk_path_matches_full_ranking(classic_index):
     from cobs_tpu.query.search import Search
     s = Search(str(classic_index))
