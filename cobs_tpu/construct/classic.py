@@ -16,6 +16,7 @@ instead of the reference's per-term scalar chain.
 """
 
 import concurrent.futures
+import functools
 import os
 import shutil
 import sys
@@ -44,7 +45,10 @@ def _log(msg: str) -> None:
 def _construct_mesh():
     """Mesh for device-side construction: the docs axis spans all
     devices (document-axis tensor parallelism); None on a single
-    device. Override with settings.construct_mesh."""
+    device. Override with settings.construct_mesh. The default mesh is
+    memoized so every construction batch reuses the same Mesh object
+    (and therefore the same jitted scatter program — see
+    construct/device.py's per-mesh caches)."""
     from cobs_tpu.settings import settings
     mesh = getattr(settings, "construct_mesh", None)
     if mesh is not None:
@@ -53,8 +57,14 @@ def _construct_mesh():
     devices = jax.devices()
     if len(devices) < 2:
         return None
+    return _default_construct_mesh(tuple(devices))
+
+
+@functools.lru_cache(maxsize=1)
+def _default_construct_mesh(devices):
     from cobs_tpu.parallel.sharded import make_mesh
-    return make_mesh(n_batch=1, n_docs=len(devices), devices=devices)
+    return make_mesh(n_batch=1, n_docs=len(devices),
+                     devices=list(devices))
 
 
 def classic_construct_from_documents(

@@ -47,7 +47,11 @@ def _scatter_single(plane, rows, docs):
     return plane.at[rows, docs].set(jnp.uint8(1), mode="drop")
 
 
+@functools.lru_cache(maxsize=None)
 def _make_scatter_sharded(mesh: Mesh):
+    """One jitted sharded scatter per mesh: a fresh jit per call would
+    re-trace (and, through a remote tunnel, re-compile for ~20-40 s)
+    for every construction batch."""
     def local(plane, rows, docs):
         R1, Dl = plane.shape
         d0 = lax.axis_index("docs") * Dl
@@ -63,6 +67,19 @@ def _make_scatter_sharded(mesh: Mesh):
         in_specs=(P(None, "docs"), P(None), P(None)),
         out_specs=P(None, "docs"))
     return jax.jit(fn, donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_plane_init(mesh: Mesh | None):
+    """Jitted on-device zero-plane allocator, cached per mesh (shapes
+    are static args, so every batch reuses one compiled program per
+    shape instead of re-tracing a fresh lambda)."""
+    if mesh is None:
+        return jax.jit(lambda R1, D: jnp.zeros((R1, D), jnp.uint8),
+                       static_argnums=(0, 1))
+    sharding = NamedSharding(mesh, P(None, "docs"))
+    return jax.jit(lambda R1, D: jnp.zeros((R1, D), jnp.uint8),
+                   static_argnums=(0, 1), out_shardings=sharding)
 
 
 @jax.jit
@@ -100,14 +117,9 @@ def build_batch_matrix_device(entries, signature_size: int, row_size: int,
     shards = mesh.shape["docs"] if mesh is not None else 1
     D_pad = _round_up(max(row_size * 8, 1), 32 * shards)
 
-    if mesh is not None:
-        sharding = NamedSharding(mesh, P(None, "docs"))
-        plane = jax.jit(lambda: jnp.zeros((R1, D_pad), jnp.uint8),
-                        out_shardings=sharding)()
-        scatter = _make_scatter_sharded(mesh)
-    else:
-        plane = jax.jit(lambda: jnp.zeros((R1, D_pad), jnp.uint8))()
-        scatter = _scatter_single
+    plane = _make_plane_init(mesh)(R1, D_pad)
+    scatter = (_make_scatter_sharded(mesh) if mesh is not None
+               else _scatter_single)
 
     def fresh_bufs():
         return (np.full(UPDATE_CHUNK, R1 - 1, dtype=np.int32),
