@@ -65,7 +65,7 @@ from cobs_tpu.construct.compact import (
     compact_construct_list,
     compact_combine_into_compact,
 )
-from cobs_tpu.query.search import Search, SearchResult
+from cobs_tpu.query.search import QueryError, Search, SearchResult
 
 __version__ = "0.1.0"
 
@@ -83,6 +83,7 @@ __all__ = [
     "compact_construct",
     "compact_construct_list",
     "compact_combine_into_compact",
+    "QueryError",
     "Search",
     "SearchResult",
     "disable_cache",

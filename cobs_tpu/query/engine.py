@@ -381,14 +381,17 @@ class PendingScores:
     materialization (the only trustworthy sync on tunneled devices).
     """
 
-    __slots__ = ("_dev", "_B", "_num_pages", "_w32", "_docs_per_page")
+    __slots__ = ("_dev", "_B", "_num_pages", "_w32", "_docs_per_page",
+                 "_after")
 
-    def __init__(self, dev, B, num_pages, word_width, docs_per_page):
+    def __init__(self, dev, B, num_pages, word_width, docs_per_page,
+                 after=None):
         self._dev = dev
         self._B = B
         self._num_pages = num_pages
         self._w32 = word_width * 32
         self._docs_per_page = docs_per_page
+        self._after = after
 
     def fetch(self) -> np.ndarray:
         """int32 [B, counts_size]; the exact score_batch contract.
@@ -404,9 +407,60 @@ class PendingScores:
         # restore the public int32 contract after the narrowed transfer
         scores = scores.astype(np.int32, copy=False)
         B, P, docs = self._B, self._num_pages, self._docs_per_page
-        return (scores[:, :docs] if P == 1 else
-                scores.reshape(B, P, self._w32)[:, :, :docs]
-                .reshape(B, P * docs))
+        out = (scores[:, :docs] if P == 1 else
+               scores.reshape(B, P, self._w32)[:, :, :docs]
+               .reshape(B, P * docs))
+        if self._after is not None:
+            self._after()
+        return out
+
+
+class PendingTopK:
+    """Handle for a dispatched-but-unfetched device top-k batch; the
+    top-k analog of PendingScores (fetch overlaps later dispatches)."""
+
+    __slots__ = ("_vals", "_idx", "_B", "_w32", "_docs_per_page",
+                 "_after")
+
+    def __init__(self, vals, idx, B, word_width, docs_per_page,
+                 after=None):
+        self._vals = vals
+        self._idx = idx
+        self._B = B
+        self._w32 = word_width * 32
+        self._docs_per_page = docs_per_page
+        self._after = after
+
+    def fetch(self):
+        """(scores i32 [B, k], doc_numbers i64 [B, k]); the exact
+        score_topk contract."""
+        vals = np.asarray(jax.block_until_ready(self._vals))[:self._B]
+        idx = np.asarray(self._idx)[:self._B]
+        docs = ((idx // self._w32) * self._docs_per_page
+                + idx % self._w32).astype(np.int64)
+        if self._after is not None:
+            self._after()
+        return vals, docs
+
+
+class PendingHost:
+    """Pending handle over host-thread scoring (streamed backend): the
+    native kernel releases the GIL, so one worker thread gives real
+    overlap with the main thread's ranking without touching the device
+    (device transfers from a second thread wedge tunneled runtimes —
+    host scoring does none)."""
+
+    __slots__ = ("_fut", "_after")
+
+    def __init__(self, fut, after=None):
+        self._fut = fut
+        self._after = after
+
+    def fetch(self):
+        out = self._fut.result()
+        if self._after is not None:
+            self._after()
+        return out
 
 
 def score_batch_async(index: DeviceIndex,
@@ -675,67 +729,95 @@ class StreamedIndex:
             timer.stop()
         return gmat, remapped, T_max
 
-    def score_batch(self, hashes_list, timer: Timer | None = None
-                    ) -> np.ndarray:
-        """int32 [B, counts_size]; exact same contract as score_batch."""
+    def _pool(self):
+        """Lazy single-worker executor for async host scoring (the
+        native kernel is internally multithreaded; one worker keeps
+        batches ordered and bounds memory)."""
+        p = getattr(self, "_host_pool", None)
+        if p is None:
+            import concurrent.futures
+
+            p = concurrent.futures.ThreadPoolExecutor(
+                1, thread_name_prefix="cobs-host-score")
+            self._host_pool = p
+        return p
+
+    def _after_score(self):
+        return self.drop_cache if self._drop_cache else None
+
+    def _host_topk(self, scores, k: int):
+        """Vectorized host top-k with the engine contract: combined
+        key (score desc, slot asc) matches lax.top_k's
+        prefer-lower-index tie rule; -1 pads past the doc count."""
+        B = scores.shape[0]
+        n = len(self.file_names)
+        kk = min(k, n)
+        s = scores[:, :n].astype(np.int64)
+        key = s * n - np.arange(n, dtype=np.int64)[None, :]
+        if kk < n:
+            cand = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+        else:
+            cand = np.broadcast_to(np.arange(n), (B, n)).copy()
+        order = np.argsort(-np.take_along_axis(key, cand, axis=1),
+                           axis=1, kind="stable")
+        sel = np.take_along_axis(cand, order, axis=1)
+        vals = np.full((B, k), -1, dtype=np.int32)
+        docs = np.zeros((B, k), dtype=np.int64)
+        vals[:, :kk] = np.take_along_axis(s, sel, axis=1)
+        docs[:, :kk] = sel
+        return vals, docs
+
+    def score_batch_async(self, hashes_list,
+                          timer: Timer | None = None):
+        """Dispatch scoring without fetching; fetch() yields the
+        score_batch contract. Host-scored batches run on a worker
+        thread (no device traffic there, so it cannot wedge a
+        tunneled runtime); device batches dispatch from the calling
+        thread and only the fetch blocks."""
         B = len(hashes_list)
         if self._host_score():
-            out = self._score_batch_host(hashes_list, timer)
-            if self._drop_cache:
-                self.drop_cache()
-            return out
+            fut = self._pool().submit(
+                self._score_batch_host, hashes_list, None)
+            return PendingHost(fut, self._after_score())
         gmat, remapped, T_max = self._prepare(hashes_list, timer)
         if timer:
             timer.active("and rows")
         scores = _gather_and_count(gmat, jnp.asarray(remapped),
                                    self.num_hashes)
         scores = _shrink_scores(scores, T_max)
-        scores = np.asarray(jax.block_until_ready(scores))[:B]
-        if timer:
-            timer.active("add rows")
-        scores = scores.astype(np.int32, copy=False)
-        W32 = self.word_width * 32
-        docs = self.docs_per_page
-        P = self.num_pages
-        out = (scores[:, :docs] if P == 1 else
-               scores.reshape(B, P, W32)[:, :, :docs]
-               .reshape(B, P * docs))
         if timer:
             timer.stop()
-        if self._drop_cache:
-            self.drop_cache()
-        return out
+        return PendingScores(scores, B, self.num_pages,
+                             self.word_width, self.docs_per_page,
+                             self._after_score())
 
-    def score_topk(self, hashes_list, k: int,
-                   timer: Timer | None = None):
-        """Top-k scoring on the streamed backend; same contract as
-        engine.score_topk (only [B, k] pairs cross from the device).
-
-        With host scoring active there is no transfer to save; the
-        top-k select runs on the host with the same (score desc,
-        doc asc) tie order and -1 padding contract."""
-        B = len(hashes_list)
+    def score_batch(self, hashes_list, timer: Timer | None = None
+                    ) -> np.ndarray:
+        """int32 [B, counts_size]; exact same contract as score_batch."""
         if self._host_score():
-            scores = self._score_batch_host(hashes_list, timer)
+            out = self._score_batch_host(hashes_list, timer)
             if self._drop_cache:
                 self.drop_cache()
-            n = len(self.file_names)
-            kk = min(k, n)
-            s = scores[:, :n].astype(np.int64)
-            # single combined key (score desc, slot asc) so boundary
-            # ties select deterministically, matching lax.top_k's
-            # prefer-lower-index rule
-            key = s * n - np.arange(n)[None, :]
-            vals = np.full((B, k), -1, dtype=np.int32)
-            docs = np.zeros((B, k), dtype=np.int64)
-            for b in range(B):
-                cand = (np.argpartition(-key[b], kk - 1)[:kk]
-                        if kk < n else np.arange(n))
-                order = cand[np.argsort(-key[b][cand],
-                                        kind="stable")]
-                vals[b, :kk] = s[b][order]
-                docs[b, :kk] = order
-            return vals, docs
+            return out
+        pending = self.score_batch_async(hashes_list, timer)
+        if timer:
+            timer.active("add rows")
+        out = pending.fetch()
+        if timer:
+            timer.stop()
+        return out
+
+    def score_topk_async(self, hashes_list, k: int,
+                         timer: Timer | None = None):
+        """Async top-k; fetch() yields the score_topk contract."""
+        B = len(hashes_list)
+        if self._host_score():
+            def work():
+                return self._host_topk(
+                    self._score_batch_host(hashes_list, None), k)
+
+            return PendingHost(self._pool().submit(work),
+                               self._after_score())
         gmat, remapped, _ = self._prepare(hashes_list, timer)
         mask = getattr(self, "_valid_mask_dev", None)
         if mask is None:
@@ -748,15 +830,31 @@ class StreamedIndex:
         vals, idx = _gather_count_topk(
             gmat, jnp.asarray(remapped), mask, self.num_hashes,
             min(k, int(mask.shape[0])))
-        vals = np.asarray(jax.block_until_ready(vals))[:B]
-        idx = np.asarray(idx)[:B]
         if timer:
             timer.stop()
-        if self._drop_cache:
-            self.drop_cache()
-        W32 = self.word_width * 32
-        doc_numbers = (idx // W32) * self.docs_per_page + idx % W32
-        return vals, doc_numbers.astype(np.int64)
+        return PendingTopK(vals, idx, B, self.word_width,
+                           self.docs_per_page, self._after_score())
+
+    def score_topk(self, hashes_list, k: int,
+                   timer: Timer | None = None):
+        """Top-k scoring on the streamed backend; same contract as
+        engine.score_topk (only [B, k] pairs cross from the device).
+
+        With host scoring active there is no transfer to save; the
+        top-k select runs on the host with the same (score desc,
+        doc asc) tie order and -1 padding contract."""
+        if self._host_score():
+            scores = self._score_batch_host(hashes_list, timer)
+            if self._drop_cache:
+                self.drop_cache()
+            return self._host_topk(scores, k)
+        pending = self.score_topk_async(hashes_list, k, timer)
+        if timer:
+            timer.active("add rows")
+        out = pending.fetch()
+        if timer:
+            timer.stop()
+        return out
 
 
 def _doc_valid_mask(num_pages: int, word_width: int,
@@ -778,21 +876,11 @@ def _gather_count_topk(matrix, rows_idx, valid_mask, num_hashes, k):
     return jax.lax.top_k(masked, k)
 
 
-def score_topk(index: DeviceIndex, hashes_list, k: int,
-               timer: Timer | None = None):
-    """Top-k scoring: only [B, k] (score, document) pairs cross the
-    device-to-host link instead of the full per-document score vector.
-
-    `lax.top_k` prefers lower indices on ties, which is exactly the
-    reference's (score desc, doc asc) result order (reference:
-    cobs/query/classic_search.cpp:140-144). Padding slots (page word
-    padding and 8-alignment beyond the real document count) are masked
-    to -1 so they sort last; callers must drop negative scores.
-
-    Returns (scores i32 [B, k], doc_numbers i64 [B, k]) where
-    doc_number = page * docs_per_page + page-local id, i.e. the same
-    score-slot numbering as score_batch's output.
-    """
+def score_topk_async(index: DeviceIndex, hashes_list, k: int,
+                     timer: Timer | None = None) -> PendingTopK:
+    """Dispatch top-k scoring without fetching; fetch() yields the
+    score_topk contract. Same in-flight discipline as
+    score_batch_async."""
     B = len(hashes_list)
     B_pad = _bucket(B)
     T_max = _bucket(max(h.shape[0] for h in hashes_list))
@@ -815,10 +903,31 @@ def score_topk(index: DeviceIndex, hashes_list, k: int,
     vals, idx = _gather_count_topk(
         index.matrix, jnp.asarray(rows_idx), mask, index.num_hashes,
         min(k, int(mask.shape[0])))
-    vals = np.asarray(jax.block_until_ready(vals))[:B]
-    idx = np.asarray(idx)[:B]
     if timer:
         timer.stop()
-    W32 = index.word_width * 32
-    doc_numbers = (idx // W32) * index.docs_per_page + idx % W32
-    return vals, doc_numbers.astype(np.int64)
+    return PendingTopK(vals, idx, B, index.word_width,
+                       index.docs_per_page)
+
+
+def score_topk(index: DeviceIndex, hashes_list, k: int,
+               timer: Timer | None = None):
+    """Top-k scoring: only [B, k] (score, document) pairs cross the
+    device-to-host link instead of the full per-document score vector.
+
+    `lax.top_k` prefers lower indices on ties, which is exactly the
+    reference's (score desc, doc asc) result order (reference:
+    cobs/query/classic_search.cpp:140-144). Padding slots (page word
+    padding and 8-alignment beyond the real document count) are masked
+    to -1 so they sort last; callers must drop negative scores.
+
+    Returns (scores i32 [B, k], doc_numbers i64 [B, k]) where
+    doc_number = page * docs_per_page + page-local id, i.e. the same
+    score-slot numbering as score_batch's output.
+    """
+    pending = score_topk_async(index, hashes_list, k, timer)
+    if timer:
+        timer.active("io")
+    out = pending.fetch()
+    if timer:
+        timer.stop()
+    return out

@@ -57,6 +57,35 @@ def _open_index(path, streamed):
             else DeviceIndex.from_file(path))
 
 
+class QueryError(Exception):
+    """Per-query failure marker yielded by `search_stream`.
+
+    The reference dies process-wide on an invalid query
+    (reference: cobs/query/classic_search.cpp:66-107); a serving loop
+    must not — one malformed query in a stream yields a QueryError in
+    that query's slot while the rest of its batch scores normally.
+    Truthiness is False so `if results:` skips it like an empty hit
+    list.
+    """
+
+    def __init__(self, query, message: str):
+        super().__init__(message)
+        self.query = query
+        self.message = message
+
+    def __bool__(self):
+        return False
+
+    def __len__(self):
+        return 0
+
+    def __iter__(self):
+        return iter(())
+
+    def __repr__(self):
+        return f"QueryError({self.message!r})"
+
+
 @dataclasses.dataclass
 class SearchResult:
     doc_name: str
@@ -174,6 +203,43 @@ class Search:
         timer.stop()
         return hashed
 
+    def _hash_batch_lenient(self, qbytes, timer):
+        """Like _hash_batch, but an invalid query flags its own slot
+        instead of aborting the batch (serving-loop robustness; the
+        reference's per-query die is classic_search.cpp:66-107).
+
+        Returns (hashed, errors): errors[b] is None or the message;
+        flagged slots carry a 1-term dummy hash so batch shapes stay
+        static — their scores are discarded by the caller.
+        """
+        max_term_size = max(ix.term_size for ix in self.index_files)
+        errors: list[str | None] = [None] * len(qbytes)
+        timer.active("hashes")
+        hashed = []
+        for ix in self.index_files:
+            dummy = np.zeros((1, ix.num_hashes), dtype=np.uint64)
+            per_q = []
+            for b, q in enumerate(qbytes):
+                if errors[b] is not None:
+                    per_q.append(dummy)
+                    continue
+                if len(q) < max_term_size:
+                    errors[b] = (f"query too short, needs to be at "
+                                 f"least {max_term_size} characters "
+                                 "long")
+                    per_q.append(dummy)
+                    continue
+                try:
+                    per_q.append(create_hashes(
+                        [q], ix.term_size, ix.num_hashes,
+                        ix.canonicalize)[0])
+                except ValueError as e:
+                    errors[b] = str(e)
+                    per_q.append(dummy)
+            hashed.append(per_q)
+        timer.stop()
+        return hashed, errors
+
     def search_batch(self, queries, threshold: float = 0.0,
                      num_results: int = 0) -> list[list[SearchResult]]:
         """Score a batch of queries in one device launch per index."""
@@ -254,47 +320,78 @@ class Search:
         of `batch_size`; while the device scores and the main thread
         ranks batch k, a worker thread hashes batch k+1 (the native
         hashing kernels release the GIL, so this is real overlap).
-        For HBM-resident indexes a bounded window of score batches is
-        additionally kept in flight on the device, so batch k's
-        device-to-host fetch overlaps batch k+1's dispatch — the lever
+        A bounded window of score batches is additionally kept in
+        flight — dispatched-ahead device work for HBM-resident
+        indexes, a host worker thread for streamed host-scored ones —
+        so batch k's fetch overlaps batch k+1's scoring: the lever
         that matters when the chip sits behind a high-latency link.
-        Yields one `list[SearchResult]` per query, in order.
+        This covers full ranking, top-k (num_results > 0) and
+        StreamedIndex backends; only mesh-sharded search scores
+        synchronously.
+
+        Yields one `list[SearchResult]` per query, in order. An
+        invalid query (too short, non-ACGT) yields a `QueryError` in
+        its slot instead of aborting the stream.
         """
         import collections
         import concurrent.futures
         import itertools
 
+        from cobs_tpu.query.engine import score_topk_async
+
         it = iter(queries)
-        pipelined = (self._sharded is None and num_results == 0 and
-                     all(isinstance(ix, DeviceIndex)
-                         for ix in self.index_files))
+        pipelined = self._sharded is None
         DEPTH = 2   # bounded: unbounded async enqueue poisons
         # tunneled devices (see PendingScores)
+        total_docs = sum(len(ix.file_names) for ix in self.index_files)
 
         def hash_next():
             batch = list(itertools.islice(it, batch_size))
             if not batch:
-                return None, None, None
+                return None, None, None, None
             qbytes = [q.encode() if isinstance(q, str) else bytes(q)
                       for q in batch]
             # private timer: the worker must not race the main thread's
             # scoring phases on the shared Timer
             t = Timer()
-            return qbytes, self._hash_batch(qbytes, t), t
+            hashed, errors = self._hash_batch_lenient(qbytes, t)
+            return qbytes, hashed, errors, t
 
-        def finish(qbytes, pending_scores):
+        def dispatch(hashed):
+            # dispatch ahead; device fetches stay on the main thread —
+            # a second thread doing device transfers concurrently with
+            # dispatches wedged the remote-tunnel runtime
+            if num_results > 0:
+                return [ix.score_topk_async(hashed[k], num_results,
+                                            self.timer_)
+                        if isinstance(ix, StreamedIndex)
+                        else score_topk_async(ix, hashed[k],
+                                              num_results, self.timer_)
+                        for k, ix in enumerate(self.index_files)]
+            return [ix.score_batch_async(hashed[k], self.timer_)
+                    if isinstance(ix, StreamedIndex)
+                    else score_batch_async(ix, hashed[k], self.timer_)
+                    for k, ix in enumerate(self.index_files)]
+
+        def finish(qbytes, errors, pending):
             self.timer_.active("add rows")
-            per_index_scores = [p.fetch() for p in pending_scores]
+            fetched = [p.fetch() for p in pending]
             self.timer_.active("sort results")
             out = []
-            total_docs = sum(len(ix.file_names)
-                             for ix in self.index_files)
             for b in range(len(qbytes)):
+                if errors[b] is not None:
+                    out.append(QueryError(qbytes[b], errors[b]))
+                    continue
                 thr = [math.ceil(threshold *
                                  (len(qbytes[b]) - ix.term_size + 1))
                        for ix in self.index_files]
-                out.append(self._rank(
-                    [s[b] for s in per_index_scores], thr, total_docs))
+                if num_results > 0:
+                    out.append(self._rank_sparse(
+                        [(v[b], d[b]) for v, d in fetched], thr,
+                        num_results))
+                else:
+                    out.append(self._rank(
+                        [s[b] for s in fetched], thr, total_docs))
             self.timer_.stop()
             return out
 
@@ -302,24 +399,23 @@ class Search:
         with concurrent.futures.ThreadPoolExecutor(1) as pool:
             pending = pool.submit(hash_next)
             while True:
-                qbytes, hashed, t = pending.result()
+                qbytes, hashed, errors, t = pending.result()
                 if qbytes is None:
                     break
                 self.timer_.merge(t)
                 pending = pool.submit(hash_next)
                 if pipelined:
-                    # dispatch ahead; fetch stays on this thread — a
-                    # second thread doing device transfers concurrently
-                    # with dispatches wedged the remote-tunnel runtime
-                    scores = [score_batch_async(ix, hashed[k],
-                                                self.timer_)
-                              for k, ix in enumerate(self.index_files)]
-                    inflight.append((qbytes, scores))
+                    inflight.append((qbytes, errors,
+                                     dispatch(hashed)))
                     if len(inflight) > DEPTH:
                         yield from finish(*inflight.popleft())
                 else:
-                    yield from self._score_ranked(
-                        qbytes, hashed, threshold, num_results)
+                    res = self._score_ranked(qbytes, hashed,
+                                             threshold, num_results)
+                    for b in range(len(qbytes)):
+                        if errors[b] is not None:
+                            res[b] = QueryError(qbytes[b], errors[b])
+                    yield from res
             while inflight:
                 yield from finish(*inflight.popleft())
 

@@ -109,6 +109,62 @@ def test_search_auto_streams_large_indices(tmp_path, fasta_dir,
     assert isinstance(s.index_files[0], DeviceIndex)
 
 
+@pytest.mark.parametrize("score_mode", ["host", "device"])
+@pytest.mark.parametrize("num_results", [0, 3])
+def test_search_stream_pipelined_streamed_backend(
+        tmp_path, fasta_dir, score_mode, num_results, monkeypatch):
+    """The pipelined stream over a StreamedIndex (host- and
+    device-scored, full and top-k) must equal search_batch."""
+    idx = _mk(tmp_path, fasta_dir, "compact")
+    monkeypatch.setattr(settings, "streamed_host_score", score_mode)
+    s = Search(str(idx), streamed=True)
+    queries = [GOLDEN_QUERY, GOLDEN_QUERY[:40], GOLDEN_QUERY[5:]] * 2
+    want = s.search_batch(queries, 0.0, num_results)
+    got = list(s.search_stream(iter(queries), 0.0, num_results,
+                               batch_size=2))
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        assert [(r.doc_name, r.score) for r in a] == \
+            [(r.doc_name, r.score) for r in b]
+
+
+def test_search_stream_topk_device(tmp_path, fasta_dir):
+    idx = _mk(tmp_path, fasta_dir, "classic")
+    s = Search(str(idx), streamed=False)
+    queries = [GOLDEN_QUERY, GOLDEN_QUERY[:40], GOLDEN_QUERY[2:]] * 2
+    for threshold, k in ((0.0, 3), (0.8, 1), (0.0, 50)):
+        want = s.search_batch(queries, threshold, k)
+        got = list(s.search_stream(iter(queries), threshold, k,
+                                   batch_size=2))
+        for a, b in zip(got, want):
+            assert [(r.doc_name, r.score) for r in a] == \
+                [(r.doc_name, r.score) for r in b], (threshold, k)
+
+
+def test_search_stream_short_query_yields_error(tmp_path, fasta_dir):
+    """One malformed query must not kill the serving loop
+    (reference dies process-wide: classic_search.cpp:66-107)."""
+    from cobs_tpu.query.search import QueryError
+
+    idx = _mk(tmp_path, fasta_dir, "classic")
+    for streamed in (False, True):
+        s = Search(str(idx), streamed=streamed)
+        queries = [GOLDEN_QUERY, "ACGT", GOLDEN_QUERY[5:],
+                   "AGTCAACGCTAANGGCATTTCCCCCCTGCCTCCTGCCTGCTG"]
+        got = list(s.search_stream(iter(queries), 0.0, batch_size=2))
+        assert len(got) == 4
+        assert isinstance(got[1], QueryError)
+        assert "too short" in got[1].message
+        assert not got[1] and len(got[1]) == 0
+        assert isinstance(got[3], QueryError)
+        assert "Invalid DNA base pair" in got[3].message
+        # the valid slots still score exactly
+        want = s.search_batch([queries[0], queries[2]], 0.0)
+        for a, b in ((got[0], want[0]), (got[2], want[1])):
+            assert [(r.doc_name, r.score) for r in a] == \
+                [(r.doc_name, r.score) for r in b]
+
+
 def test_streamed_topk_matches_full(tmp_path, fasta_dir):
     idx = _mk(tmp_path, fasta_dir, "classic")
     s = Search(str(idx), streamed=True)
