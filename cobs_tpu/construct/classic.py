@@ -340,7 +340,14 @@ def classic_construct(filelist: DocumentList, out_file, tmp_path=None,
         **params.__dict__,
         "signature_size": calc_signature_size(
             max_doc_size, params.num_hashes, params.false_positive_rate)})
+    _classic_construct_sized(filelist, out_file, tmp_path, params)
 
+
+def _classic_construct_sized(filelist: DocumentList, out_file, tmp_path,
+                             params: ClassicIndexParameters) -> None:
+    """Construct+combine pipeline with params.signature_size already
+    fixed (the multi-host driver computes it once, globally, so every
+    host's shard uses the same Bloom geometry)."""
     out_file = Path(out_file)
     tmp_path = _check_out_and_tmp(out_file, tmp_path, params,
                                   fmt_classic.FILE_EXTENSION)

@@ -26,6 +26,8 @@ since documents repeat k-mers — need no dedup pass.
 Single-chip is the 1x1 mesh special case of the same code path.
 """
 
+import functools
+
 import numpy as np
 
 import jax
@@ -34,6 +36,23 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cobs_tpu.query.engine import DeviceIndex
+
+
+@functools.lru_cache(maxsize=None)
+def _replicator(mesh: Mesh, ndim: int):
+    """Jitted identity that reshards to fully-replicated — required
+    before a host fetch when the mesh spans processes (shards on other
+    hosts are not locally addressable)."""
+    spec = P(*([None] * ndim))
+    return jax.jit(lambda x: x,
+                   out_shardings=NamedSharding(mesh, spec))
+
+
+def _fetch(mesh: Mesh, arr: jax.Array) -> np.ndarray:
+    """Device-to-host fetch that works on multi-process meshes."""
+    if not arr.is_fully_addressable:
+        arr = _replicator(mesh, arr.ndim)(arr)
+    return np.asarray(jax.block_until_ready(arr))
 
 
 def make_mesh(n_batch: int = 1, n_docs: int | None = None,
@@ -124,7 +143,7 @@ class ShardedIndex:
         scores = score_sharded(self.mesh, self.matrix,
                                jnp.asarray(rows_idx),
                                self.index.num_hashes)
-        return assemble_scores(jax.block_until_ready(scores),
+        return assemble_scores(_fetch(self.mesh, scores),
                                self.index.docs_per_page)[:len(hashes_list)]
 
     def score_topk(self, hashes_list, k: int):
@@ -154,8 +173,8 @@ class ShardedIndex:
         vals, gidx = _topk_sharded(self.mesh, self.matrix,
                                    jnp.asarray(rows_idx),
                                    self._topk_mask, ix.num_hashes, k_eff)
-        vals = np.asarray(jax.block_until_ready(vals))[:B]
-        gidx = np.asarray(gidx)[:B]
+        vals = _fetch(self.mesh, vals)[:B]
+        gidx = _fetch(self.mesh, gidx)[:B]
         # merge the per-shard candidate lists per query
         out_v = np.full((B, min(k, vals.shape[1])), -1, dtype=np.int64)
         out_d = np.zeros_like(out_v)

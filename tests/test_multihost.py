@@ -18,7 +18,7 @@ from pathlib import Path
 REPO = Path(__file__).parent.parent
 
 
-def test_two_process_distributed_scores_exact():
+def _run_two_process(worker: str, expect: str, extra_args=()):
     s = socket.socket()
     s.bind(("localhost", 0))
     port = s.getsockname()[1]
@@ -27,8 +27,8 @@ def test_two_process_distributed_scores_exact():
     env = dict(os.environ,
                PYTHONPATH=f"{REPO}:" + os.environ.get("PYTHONPATH", ""))
     procs = [subprocess.Popen(
-        [sys.executable, str(REPO / "tests" / "multihost_worker.py"),
-         str(port), str(i)],
+        [sys.executable, str(REPO / "tests" / worker),
+         str(port), str(i), *extra_args],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         cwd=REPO, env=env) for i in range(2)]
     outs = []
@@ -42,4 +42,17 @@ def test_two_process_distributed_scores_exact():
                 p.kill()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i}:\n{out[-2000:]}"
-        assert f"process {i}: multihost scores exact" in out
+        assert f"process {i}: {expect}" in out
+
+
+def test_two_process_distributed_scores_exact():
+    _run_two_process("multihost_worker.py", "multihost scores exact")
+
+
+def test_two_process_construct_and_federate(tmp_path):
+    """The multi-host construction driver on a real 2-process job:
+    per-host shard construction, host-local + global-mesh federation,
+    bit-exact with the single-index build."""
+    _run_two_process("multihost_construct_worker.py",
+                     "multihost construct+federation exact",
+                     extra_args=(str(tmp_path),))
