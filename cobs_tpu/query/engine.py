@@ -107,16 +107,24 @@ class DeviceIndex:
 
     @classmethod
     def from_classic(cls, path) -> "DeviceIndex":
-        h, rows = fmt_classic.read_classic_index(path)
+        with open(path, "rb") as f:
+            h = fmt_classic.ClassicIndexHeader.deserialize(f)
+            off = f.tell()
         W = _pad_words(-(-h.row_size // 4))
-        words = _bytes_to_words(rows, W)
-        return cls._build(
-            [words], [h.signature_size], W, h.term_size, h.canonicalize,
-            h.num_hashes, h.row_size, h.file_names, str(path))
+        matrix = _load_matrix_striped(path, off, h.signature_size,
+                                      h.row_size, W)
+        return cls(matrix=matrix,
+                   row_offsets=np.zeros(1, dtype=np.int64),
+                   sig_sizes=np.asarray([h.signature_size],
+                                        dtype=np.uint64),
+                   word_width=W, term_size=h.term_size,
+                   canonicalize=h.canonicalize, num_hashes=h.num_hashes,
+                   page_size=h.row_size, file_names=h.file_names,
+                   path=str(path))
 
     @classmethod
     def from_compact(cls, path) -> "DeviceIndex":
-        h, pages = fmt_compact.read_compact_index(path)
+        h, off = fmt_compact.read_compact_header(path)
         if not h.parameters:
             raise FileIOError("compact index has no pages")
         num_hashes = h.parameters[0].num_hashes
@@ -132,28 +140,20 @@ class DeviceIndex:
                   "lane tile and multiply gather traffic on TPU — consider "
                   "constructing with --page-size >= 512 for query-heavy "
                   "workloads", file=sys.stderr)
-        words = [_bytes_to_words(pg, W) for pg in pages]
-        return cls._build(
-            words, [p.signature_size for p in h.parameters], W,
-            h.term_size, h.canonicalize, num_hashes, h.page_size,
-            h.file_names, str(path))
-
-    @classmethod
-    def _build(cls, page_words, sig_sizes, W, term_size, canonicalize,
-               num_hashes, page_size, file_names, path) -> "DeviceIndex":
-        offsets = np.zeros(len(page_words), dtype=np.int64)
-        acc = 0
-        for i, pw in enumerate(page_words):
-            offsets[i] = acc
-            acc += pw.shape[0]
-        stacked = np.concatenate(
-            page_words + [np.zeros((1, W), dtype=np.uint32)], axis=0)
-        matrix = jax.device_put(stacked)
+        sig_sizes = [p.signature_size for p in h.parameters]
+        offsets = np.zeros(len(sig_sizes), dtype=np.int64)
+        np.cumsum(sig_sizes[:-1], out=offsets[1:])
+        # pages are back to back in the file with one row stride
+        # (page_size bytes), so the stacked [total_rows, page_size]
+        # payload loads as a single striped region
+        matrix = _load_matrix_striped(path, off, int(sum(sig_sizes)),
+                                      h.page_size, W)
         return cls(matrix=matrix, row_offsets=offsets,
                    sig_sizes=np.asarray(sig_sizes, dtype=np.uint64),
-                   word_width=W, term_size=term_size,
-                   canonicalize=canonicalize, num_hashes=num_hashes,
-                   page_size=page_size, file_names=file_names, path=path)
+                   word_width=W, term_size=h.term_size,
+                   canonicalize=h.canonicalize, num_hashes=num_hashes,
+                   page_size=h.page_size, file_names=h.file_names,
+                   path=str(path))
 
     @classmethod
     def from_file(cls, path) -> "DeviceIndex":
@@ -176,6 +176,47 @@ class DeviceIndex:
         if self.matrix.shape[0] <= np.iinfo(np.int32).max:
             return idx.astype(np.int32)
         raise ValueError("index too large for int32 row addressing")
+
+
+#: payload bytes per host-to-device transfer when loading an index into
+#: HBM. A whole-payload read + one monolithic device_put doubles host
+#: RSS and a single multi-GB H2D is unreliable through remote tunnels
+#: (see CLAUDE.md); stripes bound the extra host memory to one stripe
+#: and keep every transfer modest. The reference's analog is the mmap
+#: load that never copies twice (reference: cobs/util/query.cpp:38-88).
+_UPLOAD_STRIPE_BYTES = 64 << 20
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _zeros_u32(R: int, W: int):
+    return jnp.zeros((R, W), jnp.uint32)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_stripe(buf, stripe, row0):
+    return lax.dynamic_update_slice(buf, stripe, (row0, 0))
+
+
+def _load_matrix_striped(path, payload_off: int, total_rows: int,
+                         row_bytes: int, W: int) -> jax.Array:
+    """Load an index payload into a device u32 [total_rows + 1, W]
+    matrix stripe by stripe (the last row stays the all-zero gather
+    target). Donated in-place updates keep peak HBM at matrix + one
+    stripe; at most two stripe shapes compile (full + remainder)."""
+    buf = _zeros_u32(total_rows + 1, W)
+    rows_per = max(1, _UPLOAD_STRIPE_BYTES // (W * 4))
+    with open(path, "rb") as f:
+        f.seek(payload_off)
+        r = 0
+        while r < total_rows:
+            n = min(rows_per, total_rows - r)
+            raw = np.fromfile(f, dtype=np.uint8, count=n * row_bytes)
+            if raw.size != n * row_bytes:
+                raise FileIOError("index payload truncated")
+            words = _bytes_to_words(raw.reshape(n, row_bytes), W)
+            buf = _write_stripe(buf, jnp.asarray(words), np.int32(r))
+            r += n
+    return buf
 
 
 def create_hashes(queries: list[bytes], term_size: int, num_hashes: int,

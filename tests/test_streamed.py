@@ -89,6 +89,26 @@ def test_host_and_device_streamed_agree_random(tmp_path, fasta_dir,
     np.testing.assert_array_equal(dh[vh >= 0], dd[vd >= 0])
 
 
+@pytest.mark.parametrize("kind", ["classic", "compact"])
+def test_striped_hbm_load_matches(tmp_path, fasta_dir, kind,
+                                  monkeypatch):
+    """DeviceIndex loads stripe-by-stripe; force many tiny stripes and
+    verify scores equal the streamed (mmap) backend bit-exactly."""
+    from cobs_tpu.query import engine
+
+    idx = _mk(tmp_path, fasta_dir, kind)
+    monkeypatch.setattr(engine, "_UPLOAD_STRIPE_BYTES", 1 << 12)
+    dev = DeviceIndex.from_file(idx)
+    # stripe of 4 KiB over >= 512 B rows -> at most 8 rows per transfer
+    assert dev.matrix.shape[0] > (1 << 12) // (dev.word_width * 4)
+    st = StreamedIndex(idx)
+    queries = [GOLDEN_QUERY.encode(), GOLDEN_QUERY[3:].encode()]
+    hashes = create_hashes(queries, dev.term_size, dev.num_hashes,
+                           dev.canonicalize)
+    np.testing.assert_array_equal(score_batch(dev, hashes),
+                                  st.score_batch(hashes))
+
+
 def test_search_streamed_golden(tmp_path, fasta_dir):
     idx = _mk(tmp_path, fasta_dir, "classic")
     s = Search(str(idx), streamed=True)
