@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from cobs_tpu.query.engine import DeviceIndex
+from cobs_tpu.query.engine import DeviceIndex, _gather_count_planes
 
 
 @functools.lru_cache(maxsize=None)
@@ -138,13 +138,44 @@ class ShardedIndex:
     def score_batch(self, hashes_list) -> np.ndarray:
         """Score a batch of queries (uint64 [T, h] raw hashes each)
         across the mesh; returns int32 [B, counts_size] exactly like the
-        single-chip ``engine.score_batch``."""
+        single-chip ``engine.score_batch``.
+
+        Very long queries (terms >= settings.seq_split_terms) switch to
+        sequence parallelism: the term axis is split across the "batch"
+        mesh axis and per-document scores merge with one psum
+        (SURVEY §5's long-context mapping — no quadratic interaction
+        exists, so a plain term shard + score reduction suffices)."""
+        from cobs_tpu.settings import settings
+
+        T_max = max(h.shape[0] for h in hashes_list)
+        if (self.mesh.shape["batch"] > 1
+                and T_max >= settings.seq_split_terms):
+            return self._score_batch_seq(hashes_list)
         rows_idx = self._rows_idx(hashes_list)
         scores = score_sharded(self.mesh, self.matrix,
                                jnp.asarray(rows_idx),
                                self.index.num_hashes)
         return assemble_scores(_fetch(self.mesh, scores),
                                self.index.docs_per_page)[:len(hashes_list)]
+
+    def _score_batch_seq(self, hashes_list) -> np.ndarray:
+        """Sequence-parallel scoring: pad the term axis to a multiple
+        of the "batch" axis (padding terms hit the zero row), shard it,
+        psum-merge the partial counts."""
+        ix = self.index
+        n_batch = self.mesh.shape["batch"]
+        B = len(hashes_list)
+        T_max = max(h.shape[0] for h in hashes_list)
+        T_pad = _round_up(T_max, n_batch)
+        rows_idx = np.full((B, T_pad, ix.num_hashes, ix.num_pages),
+                           self.zero_row, dtype=np.int32)
+        for b, hs in enumerate(hashes_list):
+            rows_idx[b, :hs.shape[0]] = ix.row_indices(hs)
+        scores = score_seq_sharded(self.mesh, self.matrix,
+                                   jnp.asarray(rows_idx),
+                                   ix.num_hashes)
+        return assemble_scores(_fetch(self.mesh, scores),
+                               ix.docs_per_page)[:B]
 
     def score_topk(self, hashes_list, k: int):
         """Sharded top-k: each "docs" shard ranks its own documents with
@@ -176,8 +207,8 @@ class ShardedIndex:
         vals = _fetch(self.mesh, vals)[:B]
         gidx = _fetch(self.mesh, gidx)[:B]
         # merge the per-shard candidate lists per query
-        out_v = np.full((B, min(k, vals.shape[1])), -1, dtype=np.int64)
-        out_d = np.zeros_like(out_v)
+        out_v = np.full((B, min(k, vals.shape[1])), -1, dtype=np.int32)
+        out_d = np.zeros((B, out_v.shape[1]), dtype=np.int64)
         doc_numbers = ((gidx // W32) * ix.docs_per_page
                        + gidx % W32).astype(np.int64)
         for b in range(B):
@@ -203,13 +234,10 @@ def score_sharded(mesh: Mesh, matrix: jax.Array, rows_idx: jax.Array,
     """
 
     def local(mat, idx):
-        g = jnp.take(mat, idx, axis=0)               # [Bl, T, h, Pp, Wl]
-        anded = g[:, :, 0]
-        for j in range(1, num_hashes):
-            anded = anded & g[:, :, j]               # [Bl, T, Pp, Wl]
-        shifts = jnp.arange(32, dtype=jnp.uint32)
-        bits = (anded[..., None] >> shifts) & jnp.uint32(1)
-        return jnp.sum(bits.astype(jnp.int32), axis=1)  # [Bl, Pp, Wl, 32]
+        # the engine's chunked packed-CSA formulation on the local
+        # shard: same 2x gather/count overlap and HBM bound as
+        # single-chip (see engine._gather_count_planes)
+        return _gather_count_planes(mat, idx, num_hashes)
 
     return jax.shard_map(
         local, mesh=mesh,
@@ -228,13 +256,7 @@ def _topk_sharded(mesh: Mesh, matrix: jax.Array, rows_idx: jax.Array,
     """
 
     def local(mat, idx, mask):
-        g = jnp.take(mat, idx, axis=0)               # [Bl, T, h, Pp, Wl]
-        anded = g[:, :, 0]
-        for j in range(1, num_hashes):
-            anded = anded & g[:, :, j]
-        shifts = jnp.arange(32, dtype=jnp.uint32)
-        bits = (anded[..., None] >> shifts) & jnp.uint32(1)
-        scores = jnp.sum(bits.astype(jnp.int32), axis=1)  # [Bl,Pp,Wl,32]
+        scores = _gather_count_planes(mat, idx, num_hashes)
         Bl, Pp, Wl, _ = scores.shape
         flat = jnp.where(mask, scores, -1).reshape(Bl, Pp * Wl * 32)
         vals, lidx = jax.lax.top_k(flat, k)
@@ -380,13 +402,7 @@ def score_seq_sharded(mesh: Mesh, matrix: jax.Array, rows_idx: jax.Array,
     """
 
     def local(mat, idx):
-        g = jnp.take(mat, idx, axis=0)
-        anded = g[:, :, 0]
-        for j in range(1, num_hashes):
-            anded = anded & g[:, :, j]
-        shifts = jnp.arange(32, dtype=jnp.uint32)
-        bits = (anded[..., None] >> shifts) & jnp.uint32(1)
-        part = jnp.sum(bits.astype(jnp.int32), axis=1)
+        part = _gather_count_planes(mat, idx, num_hashes)
         return lax.psum(part, "batch")
 
     return jax.shard_map(

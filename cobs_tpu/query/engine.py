@@ -356,18 +356,19 @@ def _gather_count_once(matrix, rows_idx, num_hashes):
     return jnp.sum(_expand32(flat), axis=1).reshape(B, P, W, 32)
 
 
-@functools.partial(jax.jit, static_argnames=("num_hashes",))
-def _gather_and_count(matrix: jax.Array, rows_idx: jax.Array,
-                      num_hashes: int) -> jax.Array:
-    """matrix u32 [R, W], rows_idx i32 [B, T, h, P] -> scores i32 [B, P*W*32].
+def _gather_count_planes(matrix: jax.Array, rows_idx: jax.Array,
+                         num_hashes: int) -> jax.Array:
+    """matrix u32 [R, W], rows_idx i32 [B, T, h, P] -> i32 [B, P, W, 32].
 
-    The fused hot path: XLA lowers the take() to dynamic-slice gathers
-    from HBM; the term reduction uses packed carry-save counting
-    (_count_csa) when T is chunk-aligned, the naive expand-sum otherwise
-    (short queries, where it is cheap anyway). Long queries stream the
-    term axis through a lax.scan of _COUNT_CHUNK-term chunks — the scan
-    pipeline overlaps each chunk's HBM gather with the previous chunk's
-    count, and also bounds the materialized gather under the HBM budget.
+    The fused hot path (plain traceable function, so shard_map locals
+    reuse it on their matrix shard): XLA lowers the take() to
+    dynamic-slice gathers from HBM; the term reduction uses packed
+    carry-save counting (_count_csa) when T is chunk-aligned, the naive
+    expand-sum otherwise (short queries, where it is cheap anyway).
+    Long queries stream the term axis through a lax.scan of
+    _COUNT_CHUNK-term chunks — the scan pipeline overlaps each chunk's
+    HBM gather with the previous chunk's count, and also bounds the
+    materialized gather under the HBM budget.
     """
     B, T, h, P = rows_idx.shape
     W = matrix.shape[1]
@@ -376,8 +377,7 @@ def _gather_and_count(matrix: jax.Array, rows_idx: jax.Array,
     if budget_terms < tc:
         tc = max(_CSA_CHUNK, budget_terms // _CSA_CHUNK * _CSA_CHUNK)
     if T <= tc:
-        return _gather_count_once(matrix, rows_idx,
-                                  num_hashes).reshape(B, -1)
+        return _gather_count_once(matrix, rows_idx, num_hashes)
     pad = (-T) % tc
     if pad:
         # padding terms point at the all-zero last row
@@ -391,9 +391,24 @@ def _gather_and_count(matrix: jax.Array, rows_idx: jax.Array,
     def body(acc, idx_c):
         return acc + _gather_count_once(matrix, idx_c, num_hashes), None
 
-    acc0 = jnp.zeros((B, P, W, 32), jnp.int32)
+    # data-derived zero: inside shard_map the carry must share the
+    # body output's varying manual axes (matrix varies over the doc
+    # shard axis, rows_idx over the batch axis); XLA folds this to a
+    # plain zeros fill
+    zero = ((matrix[-1, 0] & jnp.uint32(0)).astype(jnp.int32)
+            + rows_idx[0, 0, 0, 0] * 0)
+    acc0 = jnp.zeros((B, P, W, 32), jnp.int32) + zero
     scores, _ = lax.scan(body, acc0, chunks)
-    return scores.reshape(B, -1)
+    return scores
+
+
+@functools.partial(jax.jit, static_argnames=("num_hashes",))
+def _gather_and_count(matrix: jax.Array, rows_idx: jax.Array,
+                      num_hashes: int) -> jax.Array:
+    """Jitted wrapper: scores flattened to i32 [B, P*W*32]."""
+    B = rows_idx.shape[0]
+    return _gather_count_planes(matrix, rows_idx,
+                                num_hashes).reshape(B, -1)
 
 
 def _shrink_scores(scores: jax.Array, t_max: int) -> jax.Array:

@@ -25,6 +25,13 @@ class Settings:
     #! mesh for device-side construction (None = all devices on the
     #! docs axis when more than one device is present)
     construct_mesh: object = None
+    #! sequence-parallel threshold: a mesh-sharded query whose term
+    #! count reaches this is split across the "batch" mesh axis
+    #! (score_seq_sharded + psum) — SURVEY §5's long-context mapping.
+    #! Terms per query are L - k + 1, so this triggers for ~64 kb+
+    #! sequences by default.
+    seq_split_terms: int = int(os.environ.get(
+        "COBS_TPU_SEQ_SPLIT_TERMS", 1 << 16))
     #! where the streamed (host-mmap) backend scores gathered rows:
     #! "host" = native expansion-add kernel, "device" = upload + device
     #! gather/count, "auto" = host when the native library is available

@@ -170,6 +170,33 @@ def test_sequence_axis_sharding_matches_single_device(classic_index):
     np.testing.assert_array_equal(got, want)
 
 
+def test_search_auto_seq_split_long_query(classic_index, monkeypatch):
+    """Search auto-splits a long query's term axis across the "batch"
+    mesh axis (settings.seq_split_terms) with exact results."""
+    from cobs_tpu.parallel.sharded import ShardedIndex as SI
+    from cobs_tpu.query.search import Search
+    from cobs_tpu.settings import settings
+    from cobs_tpu.utils.misc import random_sequence
+
+    calls = []
+    orig = SI._score_batch_seq
+    monkeypatch.setattr(
+        SI, "_score_batch_seq",
+        lambda self, h: calls.append(len(h)) or orig(self, h))
+    monkeypatch.setattr(settings, "seq_split_terms", 256)
+    mesh = make_mesh(n_batch=4, n_docs=2)
+    s1 = Search(str(classic_index))
+    s2 = Search(str(classic_index), mesh=mesh)
+    long_query = random_sequence(1000 + 30, 23)
+    short_query = GOLDEN_QUERY
+    for q in (long_query, short_query):
+        r1 = s1.search(q, 0.0)
+        r2 = s2.search(q, 0.0)
+        assert [(r.doc_name, r.score) for r in r1] == \
+            [(r.doc_name, r.score) for r in r2]
+    assert calls == [1]   # long query split, short one did not
+
+
 def test_search_mesh_multi_index_federation(classic_index, tmp_path):
     """Federated search with every index sharded over the mesh."""
     from cobs_tpu.query.search import Search
