@@ -187,8 +187,13 @@ def classic_combine(in_dir, out_dir, mem_bytes: int, num_threads: int,
 
     headers = {p: fmt_classic.read_classic_header(p) for p in index_paths}
 
-    # group into batches bounded by memory and open-file count
+    # group into batches bounded by memory and open-file count; the
+    # ~512 file-handle budget is GLOBAL, shared across worker threads
+    # (reference: cobs/construction/classic_index.cpp:385-423), so the
+    # per-batch cap times the concurrency below never exceeds it
+    _FD_BUDGET = 512
     target_row_bits = 8 * mem_bytes // num_threads
+    batch_cap = max(2, _FD_BUDGET // num_threads)
     batches: list[list[Path]] = []
     batch: list[Path] = []
     new_row_bits = 0
@@ -198,13 +203,17 @@ def classic_combine(in_dir, out_dir, mem_bytes: int, num_threads: int,
         # (a memory budget smaller than two rows would otherwise make
         # every level a pure rename and the combine loop never finish)
         if len(batch) >= 2 and (new_row_bits + rb > target_row_bits or
-                                len(batch) > max(2, 512 // num_threads)):
+                                len(batch) >= batch_cap):
             batches.append(batch)
             batch, new_row_bits = [], 0
         batch.append(p)
         new_row_bits += rb
     if batch:
         batches.append(batch)
+    # concurrency bound enforcing the global budget even when the
+    # progress floor (2 inputs + 1 output per batch) dominates the cap
+    max_open = max(len(b) for b in batches) + 1
+    combine_workers = min(num_threads, max(1, _FD_BUDGET // max_open))
 
     def combine_one(b: int) -> None:
         files = batches[b]
@@ -265,8 +274,9 @@ def classic_combine(in_dir, out_dir, mem_bytes: int, num_threads: int,
             for p in files:
                 os.remove(p)
 
-    if num_threads > 1 and len(batches) > 1:
-        with concurrent.futures.ThreadPoolExecutor(num_threads) as pool:
+    if combine_workers > 1 and len(batches) > 1:
+        with concurrent.futures.ThreadPoolExecutor(
+                combine_workers) as pool:
             for fut in [pool.submit(combine_one, b)
                         for b in range(len(batches))]:
                 fut.result()

@@ -16,31 +16,51 @@ import numpy as np
 from cobs_tpu.settings import settings
 from cobs_tpu.ingest.util import sliding_windows
 
-#: process-wide index cache: path -> list of (name, pos_begin, size)
-_INDEX_CACHE: dict[str, list[tuple[str, int, int]]] = {}
+#: process-wide index cache: path -> (stat signature, subdoc list)
+_INDEX_CACHE: dict[str, tuple[tuple, list[tuple[str, int, int]]]] = {}
 
 #: per-thread LRU of open file handles — a construction pass over a
 #: 10k-sub-document .mfasta seeks within one handle instead of paying
 #: 10k opens (reference: cobs/fasta_multifile.hpp:91-141,
-#: ThreadObjectArray + ifstream LRU)
+#: ThreadObjectArray + ifstream LRU). Keyed on (path, inode, mtime) so
+#: a file rewritten at the same path reopens instead of reading the
+#: stale old inode; stale entries for a path are closed eagerly.
 _LOCAL = threading.local()
 _MAX_HANDLES = 64
+
+
+def _stat_sig(path: str) -> tuple:
+    st = os.stat(path)
+    return (st.st_ino, st.st_mtime_ns, st.st_size)
 
 
 def _thread_handle(path: str):
     cache = getattr(_LOCAL, "handles", None)
     if cache is None:
         cache = _LOCAL.handles = collections.OrderedDict()
-    f = cache.get(path)
+    key = (path, _stat_sig(path))
+    f = cache.get(key)
     if f is not None and not f.closed:
-        cache.move_to_end(path)
+        cache.move_to_end(key)
         return f
+    for k in [k for k in cache if k[0] == path]:
+        cache.pop(k).close()   # same path, older inode/mtime
     f = open(path, "rb")
-    cache[path] = f
+    cache[key] = f
     if len(cache) > _MAX_HANDLES:
         _, old = cache.popitem(last=False)
         old.close()
     return f
+
+
+def close_thread_handles() -> None:
+    """Close this thread's cached file handles (e.g. before deleting
+    the underlying files)."""
+    cache = getattr(_LOCAL, "handles", None)
+    if cache:
+        while cache:
+            _, f = cache.popitem()
+            f.close()
 
 
 class FastaMultifile:
@@ -54,15 +74,18 @@ class FastaMultifile:
                 f"{self.path}")
         if not use_cache or settings.disable_cache:
             self.index = self._compute_index()
-        elif self.path in _INDEX_CACHE:
-            self.index = _INDEX_CACHE[self.path]
+            return
+        sig = _stat_sig(self.path)
+        cached = _INDEX_CACHE.get(self.path)
+        if cached is not None and cached[0] == sig:
+            self.index = cached[1]
         else:
             idx = self._read_cache_file()
             if idx is None:
                 idx = self._compute_index()
                 self._write_cache_file(idx)
             self.index = idx
-            _INDEX_CACHE[self.path] = idx
+            _INDEX_CACHE[self.path] = (sig, idx)
 
     def cache_path(self) -> str:
         return self.path + ".cobs_cache"

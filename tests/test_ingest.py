@@ -134,6 +134,29 @@ def test_document_entry_num_terms():
             w.shape[0] for w in e.term_windows(31))
 
 
+def test_mfasta_rewritten_at_same_path_rereads(tmp_path):
+    """Handle LRU + index cache are keyed on the file's stat signature:
+    rewriting an .mfasta at the same path mid-process must not serve
+    stale bytes from the old inode."""
+    import os
+    import time
+
+    p = tmp_path / "x.mfasta"
+    p.write_bytes(b">a\nACGTACGT\n>b\nGGGGCCCC\n")
+    m = FastaMultifile(p, use_cache=False)
+    assert m.subdoc_sequence(0).tobytes() == b"ACGTACGT"
+    # rewrite via replace (new inode) and in place (same inode)
+    q = tmp_path / "y.mfasta"
+    q.write_bytes(b">a\nTTTTTTTT\n>b\nAAAACCCC\n")
+    os.replace(q, p)
+    m2 = FastaMultifile(p, use_cache=False)
+    assert m2.subdoc_sequence(0).tobytes() == b"TTTTTTTT"
+    time.sleep(0.01)   # ensure a distinct mtime_ns for in-place write
+    p.write_bytes(b">a\nCCCCGGGG\n>b\nAAAATTTT\n")
+    m3 = FastaMultifile(p, use_cache=False)
+    assert m3.subdoc_sequence(1).tobytes() == b"AAAATTTT"
+
+
 def test_list_file_comments_and_blanks(tmp_path):
     """# comments and blank lines are skipped; relative paths resolve
     against the list file's directory

@@ -185,3 +185,41 @@ def test_classic_combine_ten_indices(tmp_path):
                     f"set_{pad_index(ds)}_document_{pad_index(d)}")
     for results, want in zip(s.search_batch(queries), expected):
         assert any(r.doc_name == want and r.score > 0 for r in results)
+
+
+def test_classic_combine_many_files_threaded(tmp_path):
+    """Many batch files under the global fd budget: 40 inputs combined
+    with 8 threads must equal the single-threaded result byte for byte
+    (grouping differs, final interleave order must not; reference fd
+    budget: classic_index.cpp:385-423)."""
+    from cobs_tpu.construct.classic import classic_combine
+    from cobs_tpu.fmt import classic as fmt_classic
+
+    rng = np.random.default_rng(17)
+    sig = 64
+    for threads, out_name in ((1, "t1"), (8, "t8")):
+        index_dir = tmp_path / f"in_{out_name}"
+        index_dir.mkdir()
+        rng = np.random.default_rng(17)   # same inputs for both runs
+        for i in range(40):
+            h = fmt_classic.ClassicIndexHeader(
+                term_size=31, canonicalize=1, signature_size=sig,
+                num_hashes=2,
+                file_names=[f"b{pad_index(i)}_d{j}"
+                            for j in range(1 + i % 13)])
+            data = rng.integers(0, 256, size=(sig, h.row_size),
+                                dtype=np.uint8)
+            fmt_classic.write_classic_index(
+                index_dir / (pad_index(i) + ".cobs_classic"), h, data)
+        level, in_dir = 0, index_dir
+        while True:
+            out_dir = tmp_path / f"lvl_{out_name}_{level}"
+            done, result = classic_combine(in_dir, out_dir,
+                                           8 * sig, threads, False)
+            if done:
+                break
+            in_dir, level = out_dir, level + 1
+        (tmp_path / f"final_{out_name}").write_bytes(
+            result.read_bytes())
+    assert (tmp_path / "final_t1").read_bytes() == \
+        (tmp_path / "final_t8").read_bytes()
