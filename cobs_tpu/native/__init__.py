@@ -99,6 +99,9 @@ def lib():
                 L.cobs_score_batch.argtypes = [p8, i64, pi64, i64, i64,
                                                i64, i64, i64, pi32, i32]
                 L.cobs_score_batch.restype = None
+                L.cobs_gather_rows_file.argtypes = [
+                    i32, i64, i64, pi64, i64, p8, i64, i32]
+                L.cobs_gather_rows_file.restype = i32
                 _lib = L
             except OSError as e:
                 print(f"cobs_tpu: native load failed ({e}); "
@@ -202,6 +205,48 @@ def score_batch_host(base, row_bytes: int, rows, zero_id: int,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         num_threads)
     return out
+
+
+#: io_uring availability memo: None = unknown, False = setup failed
+#: once (seccomp / old kernel) — skip the syscall on later batches
+_uring_ok: bool | None = None
+
+
+def gather_rows_file(path: str, base_off: int, row_bytes: int, rows,
+                     out, depth: int = 256) -> bool:
+    """Batched async file reads: out[i] = file[base_off + rows[i]*rb].
+
+    The analog of the reference's O_DIRECT AIO batch (reference:
+    cobs/query/compact_index/aio_search_file.cpp:23-97): a deep
+    io_uring queue keeps the disk busy with hundreds of scattered row
+    reads instead of one synchronous page fault at a time per thread.
+    Returns False when io_uring (or the native library) is unavailable
+    — callers fall back to the threaded mmap gather.
+    """
+    import numpy as np
+
+    global _uring_ok
+    L = lib()
+    if L is None or _uring_ok is False:
+        return False
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    assert out.flags.c_contiguous and out.dtype == np.uint8
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        rc = L.cobs_gather_rows_file(
+            fd, base_off, row_bytes,
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            rows.size, _ptr8(out), out.shape[1], depth)
+    finally:
+        os.close(fd)
+    if rc == -1:
+        _uring_ok = False
+        return False
+    if rc != 0:
+        raise OSError(f"cobs_gather_rows_file IO error (rc={rc}) "
+                      f"reading {path}")
+    _uring_ok = True
+    return True
 
 
 def gather_rows(base, row_bytes: int, rows, out, num_threads: int):

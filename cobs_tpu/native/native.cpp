@@ -420,3 +420,180 @@ void cobs_score_batch(const uint8_t* base, int64_t row_bytes,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched asynchronous file reads via io_uring — the TPU framework's
+// equivalent of the reference's O_DIRECT AIO batch (reference:
+// cobs/query/compact_index/aio_search_file.cpp:23-97, util/aio.cpp:25-39).
+// Cold-cache streamed serving gathers the touched Bloom rows with a deep
+// async queue instead of one synchronous page fault at a time per thread.
+// Raw syscalls (no liburing in the image); callers MUST handle rc == -1
+// (kernel/seccomp without io_uring) by falling back to the threaded
+// mmap gather above.
+
+#if defined(__linux__) && __has_include(<linux/io_uring.h>)
+
+#include <linux/io_uring.h>
+#include <sys/mman.h>
+#include <sys/syscall.h>
+#include <unistd.h>
+#include <atomic>
+
+namespace {
+
+struct Uring {
+    int ring_fd = -1;
+    io_uring_params p{};
+    unsigned *sq_head = nullptr, *sq_tail = nullptr, *sq_mask = nullptr;
+    unsigned* sq_array = nullptr;
+    io_uring_sqe* sqes = nullptr;
+    unsigned *cq_head = nullptr, *cq_tail = nullptr, *cq_mask = nullptr;
+    io_uring_cqe* cqes = nullptr;
+    void *sq_ptr = MAP_FAILED, *cq_ptr = MAP_FAILED,
+         *sqe_ptr = MAP_FAILED;
+    size_t sq_len = 0, cq_len = 0, sqe_len = 0;
+    bool ok = false;
+
+    explicit Uring(unsigned depth) {
+        ring_fd = static_cast<int>(
+            syscall(__NR_io_uring_setup, depth, &p));
+        if (ring_fd < 0) return;
+        sq_len = p.sq_off.array + p.sq_entries * sizeof(unsigned);
+        cq_len = p.cq_off.cqes + p.cq_entries * sizeof(io_uring_cqe);
+        if (p.features & IORING_FEAT_SINGLE_MMAP) {
+            size_t len = sq_len > cq_len ? sq_len : cq_len;
+            sq_len = cq_len = len;
+        }
+        sq_ptr = mmap(nullptr, sq_len, PROT_READ | PROT_WRITE,
+                      MAP_SHARED | MAP_POPULATE, ring_fd,
+                      IORING_OFF_SQ_RING);
+        if (sq_ptr == MAP_FAILED) return;
+        cq_ptr = (p.features & IORING_FEAT_SINGLE_MMAP)
+                     ? sq_ptr
+                     : mmap(nullptr, cq_len, PROT_READ | PROT_WRITE,
+                            MAP_SHARED | MAP_POPULATE, ring_fd,
+                            IORING_OFF_CQ_RING);
+        if (cq_ptr == MAP_FAILED) return;
+        sqe_len = p.sq_entries * sizeof(io_uring_sqe);
+        sqe_ptr = mmap(nullptr, sqe_len, PROT_READ | PROT_WRITE,
+                       MAP_SHARED | MAP_POPULATE, ring_fd,
+                       IORING_OFF_SQES);
+        if (sqe_ptr == MAP_FAILED) return;
+        auto* sqb = static_cast<uint8_t*>(sq_ptr);
+        sq_head = reinterpret_cast<unsigned*>(sqb + p.sq_off.head);
+        sq_tail = reinterpret_cast<unsigned*>(sqb + p.sq_off.tail);
+        sq_mask = reinterpret_cast<unsigned*>(sqb + p.sq_off.ring_mask);
+        sq_array = reinterpret_cast<unsigned*>(sqb + p.sq_off.array);
+        auto* cqb = static_cast<uint8_t*>(cq_ptr);
+        cq_head = reinterpret_cast<unsigned*>(cqb + p.cq_off.head);
+        cq_tail = reinterpret_cast<unsigned*>(cqb + p.cq_off.tail);
+        cq_mask = reinterpret_cast<unsigned*>(cqb + p.cq_off.ring_mask);
+        cqes = reinterpret_cast<io_uring_cqe*>(cqb + p.cq_off.cqes);
+        sqes = static_cast<io_uring_sqe*>(sqe_ptr);
+        ok = true;
+    }
+    ~Uring() {
+        if (sqe_ptr != MAP_FAILED) munmap(sqe_ptr, sqe_len);
+        if (cq_ptr != MAP_FAILED && cq_ptr != sq_ptr)
+            munmap(cq_ptr, cq_len);
+        if (sq_ptr != MAP_FAILED) munmap(sq_ptr, sq_len);
+        if (ring_fd >= 0) close(ring_fd);
+    }
+};
+
+inline unsigned load_acquire(const unsigned* p) {
+    return __atomic_load_n(p, __ATOMIC_ACQUIRE);
+}
+inline void store_release(unsigned* p, unsigned v) {
+    __atomic_store_n(p, v, __ATOMIC_RELEASE);
+}
+
+// synchronous completion for error/short-read cases
+bool pread_full(int fd, uint8_t* dst, int64_t len, int64_t off) {
+    int64_t done = 0;
+    while (done < len) {
+        ssize_t r = pread(fd, dst + done,
+                          static_cast<size_t>(len - done), off + done);
+        if (r <= 0) return false;
+        done += r;
+    }
+    return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Gather n rows of row_bytes each from an open file: row i is read from
+// file offset base_off + rows[i]*row_bytes into out + i*out_stride.
+// Returns 0 on success, -1 when io_uring is unavailable (caller falls
+// back), -2 on hard IO error.
+int32_t cobs_gather_rows_file(int32_t fd, int64_t base_off,
+                              int64_t row_bytes, const int64_t* rows,
+                              int64_t n, uint8_t* out,
+                              int64_t out_stride, int32_t depth_arg) {
+    if (n <= 0) return 0;
+    unsigned depth = 256;
+    if (depth_arg > 0 && depth_arg <= 4096)
+        depth = static_cast<unsigned>(depth_arg);
+    Uring r(depth);
+    if (!r.ok) return -1;
+    int64_t submitted = 0, completed = 0;
+    unsigned inflight_cap = r.p.sq_entries;
+    int rc = 0;
+    while (completed < n) {
+        unsigned to_submit = 0;
+        unsigned tail = load_acquire(r.sq_tail);
+        while (submitted < n &&
+               static_cast<unsigned>(submitted - completed) <
+                   inflight_cap) {
+            unsigned idx = tail & *r.sq_mask;
+            io_uring_sqe* sqe = &r.sqes[idx];
+            std::memset(sqe, 0, sizeof(*sqe));
+            sqe->opcode = IORING_OP_READ;
+            sqe->fd = fd;
+            sqe->addr = reinterpret_cast<uint64_t>(
+                out + submitted * out_stride);
+            sqe->len = static_cast<unsigned>(row_bytes);
+            sqe->off = static_cast<uint64_t>(
+                base_off + rows[submitted] * row_bytes);
+            sqe->user_data = static_cast<uint64_t>(submitted);
+            r.sq_array[idx] = idx;
+            ++tail;
+            ++to_submit;
+            ++submitted;
+        }
+        store_release(r.sq_tail, tail);
+        long ret = syscall(__NR_io_uring_enter, r.ring_fd, to_submit,
+                           1U, IORING_ENTER_GETEVENTS, nullptr, 0);
+        if (ret < 0) return completed == 0 ? -1 : -2;
+        unsigned head = load_acquire(r.cq_head);
+        while (head != load_acquire(r.cq_tail)) {
+            io_uring_cqe* c = &r.cqes[head & *r.cq_mask];
+            int64_t i = static_cast<int64_t>(c->user_data);
+            if (c->res != static_cast<int32_t>(row_bytes)) {
+                // short read / error: finish this row synchronously
+                if (!pread_full(fd, out + i * out_stride, row_bytes,
+                                base_off + rows[i] * row_bytes))
+                    rc = -2;
+            }
+            ++head;
+            ++completed;
+        }
+        store_release(r.cq_head, head);
+    }
+    return rc;
+}
+
+}  // extern "C"
+
+#else  // no io_uring header
+
+extern "C" {
+int32_t cobs_gather_rows_file(int32_t, int64_t, int64_t, const int64_t*,
+                              int64_t, uint8_t*, int64_t, int32_t) {
+    return -1;
+}
+}
+
+#endif

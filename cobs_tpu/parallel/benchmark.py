@@ -6,8 +6,25 @@ document-axis-sharded signature matrix (the BASELINE.md target is
 same shard_map program multi-host deployments compile; with
 `jax.distributed` initialized the mesh spans hosts and the identical
 code path rides ICI/DCN.
+
+Cost model (printed so proxy runs can be sanity-checked against it):
+``score_sharded`` is shard_map with NO collective inside the compiled
+step — the matrix is document-sharded, the row indices are replicated
+across the "docs" axis at upload time, and the scores stay sharded.
+Per query each shard moves ``T * num_hashes * W_local * 4`` bytes of
+local HBM gather traffic and zero cross-device bytes; the only
+cross-device traffic is the one-time row-index broadcast
+(``B * T * num_hashes * 4`` bytes per batch, outside the timed loop in
+deployment because uploads overlap scoring). Weak scaling (docs per
+shard held constant) therefore predicts efficiency ~1.0 on real
+hardware whose shards have private memory bandwidth. On a CPU *proxy*
+with ``C`` physical cores emulating ``n`` devices, total compute grows
+n-fold on fixed silicon, so predicted efficiency is ``min(1, C/n)`` —
+the measured/predicted ratio, not the raw number, is the
+harness-correctness signal there.
 """
 
+import os
 import time
 
 import numpy as np
@@ -53,14 +70,45 @@ def _bench_mesh(n_devices: int, sig_size: int, W_per_shard: int,
     return iters * B / (time.perf_counter() - t0)
 
 
+def cost_model(n_devices: int, W_per_shard: int, T: int,
+               num_hashes: int, B: int) -> dict:
+    """Bytes moved per query, and the predicted weak-scaling efficiency.
+
+    Keys:
+      hbm_bytes_per_query_per_shard: local gather traffic (the bound).
+      collective_bytes_per_query: cross-device bytes inside the compiled
+        scoring step (0 — no psum/all-gather; scores stay sharded).
+      broadcast_bytes_per_query: row-index replication cost at upload,
+        amortized over the batch.
+      predicted_efficiency: 1.0 on real shards; min(1, C/n) on a CPU
+        proxy oversubscribing C physical cores.
+    """
+    cpu_proxy = jax.devices()[0].platform == "cpu"
+    phys = os.cpu_count() or 1
+    return {
+        "hbm_bytes_per_query_per_shard":
+            T * num_hashes * W_per_shard * 4,
+        "collective_bytes_per_query": 0,
+        "broadcast_bytes_per_query": T * num_hashes * 4,
+        "cpu_proxy": cpu_proxy,
+        "predicted_efficiency":
+            min(1.0, phys / n_devices) if cpu_proxy else 1.0,
+    }
+
+
 def benchmark_scaling(n_devices: int | None = None,
                       sig_size: int = 1 << 18, docs_per_shard: int = 4096,
                       B: int = 16, T: int = 1000, num_hashes: int = 1,
-                      iters: int = 10) -> dict:
+                      iters: int = 10,
+                      B_sweep: tuple[int, ...] = ()) -> dict:
     """Weak-scaling sweep 1..n devices (docs per shard held constant).
 
-    Returns {"per_n": {n: qps}, "efficiency": qps_N/(N*qps_1)}.
-    Weak scaling is the deployment regime: corpora grow with the mesh.
+    Returns {"per_n": {n: qps}, "efficiency": qps_N/(N*qps_1),
+    "per_b": {B: qps at n_devices}, "cost_model": {...},
+    "predicted_efficiency": float}. ``B_sweep`` additionally measures
+    each batch size at the full mesh width — batch size is the serving
+    lever (dispatch overhead amortizes with B), so scaling claims must
+    state the B they were measured at.
     """
     if n_devices is None:
         n_devices = len(jax.devices())
@@ -74,4 +122,14 @@ def benchmark_scaling(n_devices: int | None = None,
     if n_devices in per_n and 1 in per_n and n_devices > 1:
         # weak scaling: N shards score N x the documents per query
         eff = per_n[n_devices] / per_n[1]
-    return {"per_n": per_n, "efficiency": eff}
+    per_b = {}
+    for b in B_sweep:
+        if b == B and n_devices in per_n:
+            per_b[b] = per_n[n_devices]
+        else:
+            per_b[b] = _bench_mesh(n_devices, sig_size, W_per_shard,
+                                   b, T, num_hashes, iters)
+    cm = cost_model(n_devices, W_per_shard, T, num_hashes, B)
+    return {"per_n": per_n, "efficiency": eff, "per_b": per_b,
+            "cost_model": cm,
+            "predicted_efficiency": cm["predicted_efficiency"]}

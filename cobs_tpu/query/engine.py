@@ -596,6 +596,7 @@ class StreamedIndex:
                 h = fmt_classic.ClassicIndexHeader.deserialize(f)
                 off = f.tell()
             payload_off = off
+            self._payload_off = payload_off
             self.term_size = h.term_size
             self.canonicalize = h.canonicalize
             self.num_hashes = h.num_hashes
@@ -610,6 +611,7 @@ class StreamedIndex:
         elif fmt_compact.is_compact_file(path):
             h, off = fmt_compact.read_compact_header(path)
             payload_off = off
+            self._payload_off = payload_off
             if not h.parameters:
                 raise FileIOError("compact index has no pages")
             num_hashes = h.parameters[0].num_hashes
@@ -719,21 +721,53 @@ class StreamedIndex:
 
     def _score_batch_host(self, hashes_list, timer: Timer | None):
         """Fused gather/AND/expand-add in the native kernel, straight
-        off the mmap'd payload (no device round trip)."""
+        off the mmap'd payload (no device round trip).
+
+        Cold-cache mode first pulls the batch's unique rows with a deep
+        io_uring read queue (the analog of the reference's O_DIRECT AIO
+        batch, reference: aio_search_file.cpp:23-97) and scores from
+        the compact buffer: scattered disk reads complete concurrently
+        instead of one synchronous page fault at a time per thread."""
         from cobs_tpu import native
         from cobs_tpu.settings import settings
 
         rows_idx = self._rows_global(hashes_list)
+        payload, zero_id = self._payload, self.total_rows
+        if self._drop_cache:
+            if timer:
+                timer.active("io")
+            pulled = self._gather_unique_async(rows_idx)
+            if pulled is not None:
+                payload, rows_idx, zero_id = pulled
+            if timer:
+                timer.stop()
         if timer:
             timer.active("and rows")
         scores = native.score_batch_host(
-            self._payload, self._row_bytes, rows_idx, self.total_rows,
+            payload, self._row_bytes, rows_idx, zero_id,
             max(1, settings.threads))
         if timer:
             timer.stop()
         if scores is None:  # native vanished between check and call
             raise FileIOError("native host scoring unavailable")
         return scores
+
+    def _gather_unique_async(self, rows_idx):
+        """io_uring gather of the batch's unique rows into a compact
+        buffer. Returns (buffer, remapped rows, zero row id) or None
+        when io_uring is unavailable (callers keep the mmap path)."""
+        from cobs_tpu import native
+
+        uniq, inv = np.unique(rows_idx, return_inverse=True)
+        n_real = int(np.searchsorted(uniq, self.total_rows))
+        buf = np.zeros((n_real + 1, self._row_bytes), dtype=np.uint8)
+        if not native.gather_rows_file(
+                self.path, self._payload_off, self._row_bytes,
+                uniq[:n_real], buf[:n_real]):
+            return None
+        # uniq is sorted, so a padding id (== total_rows) is last and
+        # maps to index n_real — the buffer's zero row
+        return buf, inv.reshape(rows_idx.shape).astype(np.int64), n_real
 
     def _prepare(self, hashes_list, timer: Timer | None):
         """Host stage: gather the touched rows, build remapped indices.
@@ -758,26 +792,25 @@ class StreamedIndex:
         W = self.word_width
         u_pad = _bucket(uniq.size)
         gathered = np.zeros((u_pad + 1, W * 4), dtype=np.uint8)
-        bounds = np.searchsorted(uniq, np.append(self.row_offsets[1:],
-                                                 zero_id))
+        n_real = int(np.searchsorted(uniq, zero_id))
         from cobs_tpu import native
         from cobs_tpu.settings import settings
 
-        start = 0
-        for p, mm in enumerate(self._mms):
-            end = bounds[p]
-            if end > start:
-                local = (uniq[start:end]
-                         - self.row_offsets[p]).astype(np.int64)
-                # parallel scattered reads through the OS page cache —
-                # the analog of the reference's AIO batch (reference:
-                # cobs/query/compact_index/aio_search_file.cpp:23-97)
+        if n_real:
+            real = uniq[:n_real].astype(np.int64)
+            # cold mode: deep async io_uring read queue; warm: parallel
+            # scattered reads through the OS page cache — both the
+            # analog of the reference's AIO batch (reference:
+            # cobs/query/compact_index/aio_search_file.cpp:23-97)
+            if not (self._drop_cache and native.gather_rows_file(
+                    self.path, self._payload_off, self._row_bytes,
+                    real, gathered[:n_real])):
                 if not native.gather_rows(
-                        mm, self._row_bytes, local,
-                        gathered[start:end], settings.threads):
-                    gathered[start:end, :self._row_bytes] = mm[local]
-            start = end
-        # rows beyond the last page bound (zero id + padding) stay 0
+                        self._payload, self._row_bytes, real,
+                        gathered[:n_real], settings.threads):
+                    gathered[:n_real, :self._row_bytes] = \
+                        self._payload[real]
+        # rows at/after the zero id (padding) stay 0
         gmat = jnp.asarray(
             np.ascontiguousarray(gathered).view("<u4"))
         remapped = inv.reshape(rows_idx.shape).astype(np.int32)

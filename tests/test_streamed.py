@@ -109,6 +109,43 @@ def test_striped_hbm_load_matches(tmp_path, fasta_dir, kind,
                                   st.score_batch(hashes))
 
 
+@pytest.mark.parametrize("score_mode", ["host", "device"])
+@pytest.mark.parametrize("kind", ["classic", "compact"])
+def test_cold_cache_scores_match_warm(tmp_path, fasta_dir, kind,
+                                      score_mode, monkeypatch):
+    """drop_cache mode pulls rows with the io_uring batch (falling back
+    to mmap when unavailable); scores must equal the warm path."""
+    idx = _mk(tmp_path, fasta_dir, kind)
+    monkeypatch.setattr(settings, "streamed_host_score", score_mode)
+    warm = StreamedIndex(idx)
+    cold = StreamedIndex(idx, drop_cache=True)
+    queries = [GOLDEN_QUERY.encode(), GOLDEN_QUERY[3:].encode()]
+    hashes = create_hashes(queries, warm.term_size, warm.num_hashes,
+                           warm.canonicalize)
+    np.testing.assert_array_equal(cold.score_batch(hashes),
+                                  warm.score_batch(hashes))
+    vw, dw = warm.score_topk(hashes, 5)
+    vc, dc = cold.score_topk(hashes, 5)
+    np.testing.assert_array_equal(vc, vw)
+    np.testing.assert_array_equal(dc[vc >= 0], dw[vw >= 0])
+
+
+def test_uring_gather_bit_exact(tmp_path, fasta_dir):
+    """The io_uring row gather equals direct payload reads (skipped
+    when the kernel/seccomp denies io_uring)."""
+    from cobs_tpu import native
+
+    idx = _mk(tmp_path, fasta_dir, "classic")
+    st = StreamedIndex(idx)
+    rng = np.random.default_rng(9)
+    rows = rng.integers(0, st.total_rows, size=300).astype(np.int64)
+    out = np.zeros((300, st._row_bytes), dtype=np.uint8)
+    if not native.gather_rows_file(st.path, st._payload_off,
+                                   st._row_bytes, rows, out):
+        pytest.skip("io_uring unavailable in this environment")
+    np.testing.assert_array_equal(out, np.asarray(st._payload[rows]))
+
+
 def test_search_streamed_golden(tmp_path, fasta_dir):
     idx = _mk(tmp_path, fasta_dir, "classic")
     s = Search(str(idx), streamed=True)
