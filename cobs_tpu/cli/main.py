@@ -570,20 +570,40 @@ def cmd_benchmark_scaling(argv):
     p.add_argument("--docs-per-shard", type=int, default=4096)
     p.add_argument("--sig-size", type=int, default=1 << 18)
     p.add_argument("-b", "--batch", type=int, default=16)
+    p.add_argument("--batch-sweep", type=str, default="",
+                   help="comma-separated batch sizes to additionally "
+                        "measure at full mesh width (batch size is the "
+                        "serving lever; scaling claims must state B)")
     p.add_argument("--num-kmers", type=int, default=1000)
     p.add_argument("--iterations", type=int, default=10)
     args = p.parse_args(argv)
 
     from cobs_tpu.parallel.benchmark import benchmark_scaling
+    sweep = tuple(int(x) for x in args.batch_sweep.split(",") if x)
     r = benchmark_scaling(
         n_devices=args.num_devices or None,
         sig_size=args.sig_size, docs_per_shard=args.docs_per_shard,
-        B=args.batch, T=args.num_kmers, iters=args.iterations)
+        B=args.batch, T=args.num_kmers, iters=args.iterations,
+        B_sweep=sweep)
     for n, qps in sorted(r["per_n"].items()):
-        print(f"RESULT devices={n} queries_per_s={qps:.1f} "
+        print(f"RESULT devices={n} batch={args.batch} "
+              f"queries_per_s={qps:.1f} "
               f"docs_per_query={n * args.docs_per_shard}")
+    for b, qps in sorted(r["per_b"].items()):
+        print(f"RESULT batch_sweep B={b} queries_per_s={qps:.1f}")
+    cm = r["cost_model"]
+    print(f"RESULT cost_model hbm_bytes_per_query_per_shard="
+          f"{cm['hbm_bytes_per_query_per_shard']} "
+          f"collective_bytes_per_query="
+          f"{cm['collective_bytes_per_query']} "
+          f"broadcast_bytes_per_query="
+          f"{cm['broadcast_bytes_per_query']} "
+          f"cpu_proxy={cm['cpu_proxy']}")
     if r["efficiency"] is not None:
-        print(f"RESULT weak_scaling_efficiency={r['efficiency']:.3f}")
+        ratio = r["efficiency"] / r["predicted_efficiency"]
+        print(f"RESULT weak_scaling_efficiency={r['efficiency']:.3f} "
+              f"predicted={r['predicted_efficiency']:.3f} "
+              f"measured_over_predicted={ratio:.3f}")
     return 0
 
 
