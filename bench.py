@@ -103,8 +103,11 @@ def main() -> None:
     idxs_s, idxs_l = make_idxs(k_small), make_idxs(k_large)
     np.asarray(multi(matrix, idxs_s))    # compile + warm
     np.asarray(multi(matrix, idxs_l))
+    # 10 rounds: the tunneled chip's effective rate drifts within a
+    # process (observed 50-74k q/s for the same program); per-size
+    # minima over more rounds converge on the clean-state throughput
     best_s = best_l = float("inf")
-    for _ in range(5):
+    for _ in range(10):
         t0 = time.perf_counter()
         np.asarray(multi(matrix, idxs_s))  # fetch = true sync
         best_s = min(best_s, time.perf_counter() - t0)

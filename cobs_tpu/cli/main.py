@@ -395,6 +395,12 @@ def cmd_benchmark_fpr(argv):
                    help="calculate false positive distribution")
     p.add_argument("-b", "--batch", type=int, default=64,
                    help="queries per device batch (TPU addition)")
+    p.add_argument("-t", "--threshold", type=float, default=0.0,
+                   help="score threshold fraction (reference query "
+                        "default is 0.8)")
+    p.add_argument("-l", "--limit", type=int, default=0,
+                   help="top-k results per query (0 = full ranking); "
+                        "exercises the sparse top-k serving path")
     p.add_argument("--streamed", action="store_true",
                    help="benchmark the host-mmap streamed backend")
     p.add_argument("--cold", action="store_true",
@@ -421,7 +427,10 @@ def cmd_benchmark_fpr(argv):
         backend = None
         s = Search(args.in_file)
     for i in range(0, len(warmup), args.batch):
-        s.search_batch(warmup[i:i + args.batch])
+        # same threshold/limit as the measured loop so the top-k
+        # program (a different jit) compiles during warmup
+        s.search_batch(warmup[i:i + args.batch], args.threshold,
+                       args.limit)
     s.timer().reset()
     if args.cold:
         backend.drop_cache()  # the measured loop starts cold too
@@ -431,7 +440,9 @@ def cmd_benchmark_fpr(argv):
     last_result = []
     # the serving loop: overlapped hashing + a bounded in-flight device
     # window (Search.search_stream)
-    for res_list in s.search_stream(queries, batch_size=args.batch):
+    for res_list in s.search_stream(queries, threshold=args.threshold,
+                                    num_results=args.limit,
+                                    batch_size=args.batch):
         # reference parity: results= is the LAST query's hit count
         # (reference: src/cobs.cpp:655)
         last_result = res_list

@@ -256,14 +256,18 @@ def create_hashes(queries: list[bytes], term_size: int, num_hashes: int,
 def _bucket(n: int) -> int:
     """Pad axis sizes to buckets to bound jit recompilation.
 
-    A ~1.25x geometric ladder (aligned to 16) instead of powers of two:
-    padding waste on the dominant term axis is capped at ~25% of the
-    gathered HBM traffic while the number of distinct compiled programs
-    stays O(log n)."""
-    b = 16
-    while b < n:
-        b = -(-(b + (b >> 2)) // 16) * 16
-    return b
+    Rounds up to a multiple of 2^(bit_length-4) — eight steps per
+    octave — so padding waste on the dominant term axis is capped at
+    12.5% (mean ~6%) while the number of distinct compiled programs
+    stays O(log n). Zero-row padding gathers cost the same HBM time as
+    real ones (measured r3: a T=1200-bucketed 1000-term query ran ~17%
+    slower than exact T=1000), so the previous ~1.25x ladder's 25% cap
+    was worth real serving throughput: its T=1000 -> 1200 step is now
+    1000 -> 1024 (+2.4%)."""
+    if n <= 16:
+        return 16
+    q = 1 << max(4, n.bit_length() - 4)
+    return -(-n // q) * q
 
 
 def _csa(a, b, c):
@@ -334,12 +338,25 @@ def _count_csa(anded: jax.Array) -> jax.Array:
 #: [B, T, h, P, W] gather would exceed it stream through T-chunks
 _GATHER_BYTES_BUDGET = 1 << 30
 
-#: default term-chunk for the gather->count scan. Chunking is a
-#: *throughput* win, not just a memory bound: streaming T in 256-term
-#: chunks lets XLA overlap each chunk's HBM gather with the previous
-#: chunk's packed count (measured 2x over the single-shot formulation
-#: on a v5e chip: 1.20 ms vs 2.40 ms at B=64, T=1024, W=384).
-_COUNT_CHUNK = 256
+#: target term-chunk for the gather->count scan. Chunking is a
+#: *throughput* win, not just a memory bound: streaming T in chunks
+#: lets XLA overlap each chunk's HBM gather with the previous chunk's
+#: packed count (measured 2x over the single-shot formulation on a
+#: v5e chip). The actual chunk adapts to T so the last chunk carries
+#: no padding: within the measured 250-500 plateau (r3 round-robin
+#: sweep at B=64: T=1000 gives 103.6/103.7 GB/s at tc=250/500 while
+#: tc<=200 falls off ~15%+; at T=1024 the divisor chunk 342 gives
+#: 103.0 GB/s vs 92.1 for a fixed 256) the divisor of T closest to
+#: the target wins, because padding terms still gather the zero row.
+_COUNT_CHUNK = 500
+
+
+def _chunk_for(T: int, target: int) -> int:
+    """Largest chunk <= target that pads T the least: ceil-divide T
+    into ceil(T/target) chunks. Zero padding whenever T has a divisor
+    near the target (serving buckets are multiples of 16, so usually)."""
+    n = -(-T // target)
+    return -(-T // n)
 
 
 def _gather_count_once(matrix, rows_idx, num_hashes):
@@ -376,8 +393,11 @@ def _gather_count_planes(matrix: jax.Array, rows_idx: jax.Array,
     budget_terms = _GATHER_BYTES_BUDGET // max(B * h * P * W * 4, 1)
     if budget_terms < tc:
         tc = max(_CSA_CHUNK, budget_terms // _CSA_CHUNK * _CSA_CHUNK)
-    if T <= tc:
+    if T <= min(tc, 2 * _CSA_CHUNK):
         return _gather_count_once(matrix, rows_idx, num_hashes)
+    # >= 2 chunks (the scan overlap needs at least two), sized to a
+    # divisor of T near the target so the tail chunk carries no padding
+    tc = _chunk_for(T, min(tc, -(-T // 2)))
     pad = (-T) % tc
     if pad:
         # padding terms point at the all-zero last row

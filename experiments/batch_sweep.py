@@ -10,8 +10,12 @@ Run on the real chip with an otherwise-idle host (CLAUDE.md gotcha 3):
     python experiments/batch_sweep.py [B ...]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 
