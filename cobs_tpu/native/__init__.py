@@ -233,6 +233,15 @@ def gather_rows_file(path: str, base_off: int, row_bytes: int, rows,
     assert out.flags.c_contiguous and out.dtype == np.uint8
     fd = os.open(path, os.O_RDONLY)
     try:
+        # disable kernel readahead: row reads are ~1 KB scattered over
+        # a multi-GB file, and each buffered miss otherwise triggers up
+        # to read_ahead_kb (8 MB on stock images) of speculative IO —
+        # measured on a 2.5 GB index: 3-30k IOPS erratic with readahead
+        # vs a steady 120-176k with FADV_RANDOM
+        try:
+            os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_RANDOM)
+        except (AttributeError, OSError):
+            pass
         rc = L.cobs_gather_rows_file(
             fd, base_off, row_bytes,
             rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
