@@ -106,3 +106,37 @@ def test_chunked_gather_matches_unchunked(rng, monkeypatch):
     got = np.asarray(chunked(matrix, jnp.asarray(rows_idx), h))
     assert B * T * h * W * 4 > 32 * 1024  # budget actually exceeded
     np.testing.assert_array_equal(got, want)
+
+
+def test_bucket_waste_bound():
+    """The term-axis bucket ladder caps padding waste at 12.5% —
+    zero-row padding gathers cost full HBM time (measured r3), so the
+    ladder's waste bound is a throughput contract, not cosmetics."""
+    from cobs_tpu.query.engine import _bucket
+
+    prev = 0
+    for n in list(range(1, 4097)) + [10_000, 100_000, 1_000_000]:
+        b = _bucket(n)
+        assert b >= n
+        assert b % 16 == 0
+        # waste <= one quantum: n/8 once n >= 128, else the 16 floor
+        assert b - n < max(16, (n + 1) / 8), (n, b)
+        if n >= 128:
+            assert b <= n * 1.125, (n, b)
+        assert b >= prev  # monotone: longer queries never bucket lower
+        prev = b
+    assert _bucket(1000) == 1024  # the serving-bucket regression
+
+
+def test_chunk_for_divides_with_bounded_tail():
+    """The adaptive scan chunk never exceeds its target and pads T by
+    less than one chunk-count's worth."""
+    from cobs_tpu.query.engine import _chunk_for
+
+    for T in list(range(1, 3000)) + [10_000, 106_496]:
+        for target in (128, 250, 256, 500):
+            tc = _chunk_for(T, target)
+            assert 1 <= tc <= target
+            n = -(-T // tc)
+            assert n * tc - T < n  # tail padding < chunks
+            assert n == -(-T // target)  # same dispatch count as fixed
