@@ -526,16 +526,25 @@ class PendingHost:
     (device transfers from a second thread wedge tunneled runtimes —
     host scoring does none)."""
 
-    __slots__ = ("_fut", "_after")
+    __slots__ = ("_fut", "_after", "_wt", "_into")
 
-    def __init__(self, fut, after=None):
+    def __init__(self, fut, after=None, worker_timer=None,
+                 merge_into=None):
         self._fut = fut
         self._after = after
+        self._wt = worker_timer
+        self._into = merge_into
 
     def fetch(self):
         out = self._fut.result()
         if self._after is not None:
             self._after()
+        if self._wt is not None and self._into is not None:
+            # fold the worker thread's io/score phases into the
+            # caller's timer so pipelined RESULT lines still attribute
+            # time per phase (reference: cobs/util/timer.cpp:67-75
+            # merges per-thread timers the same way)
+            self._into.merge(self._wt)
         return out
 
 
@@ -885,9 +894,10 @@ class StreamedIndex:
         thread and only the fetch blocks."""
         B = len(hashes_list)
         if self._host_score():
+            wt = Timer()
             fut = self._pool().submit(
-                self._score_batch_host, hashes_list, None)
-            return PendingHost(fut, self._after_score())
+                self._score_batch_host, hashes_list, wt)
+            return PendingHost(fut, self._after_score(), wt, timer)
         gmat, remapped, T_max = self._prepare(hashes_list, timer)
         if timer:
             timer.active("and rows")
@@ -921,12 +931,14 @@ class StreamedIndex:
         """Async top-k; fetch() yields the score_topk contract."""
         B = len(hashes_list)
         if self._host_score():
+            wt = Timer()
+
             def work():
                 return self._host_topk(
-                    self._score_batch_host(hashes_list, None), k)
+                    self._score_batch_host(hashes_list, wt), k)
 
             return PendingHost(self._pool().submit(work),
-                               self._after_score())
+                               self._after_score(), wt, timer)
         gmat, remapped, _ = self._prepare(hashes_list, timer)
         mask = getattr(self, "_valid_mask_dev", None)
         if mask is None:
