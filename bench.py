@@ -91,9 +91,20 @@ def main() -> None:
         _, totals = lax.scan(body, 0, idxs)
         return totals
 
+    # queries enter the engine padded to the term bucket with zero-row
+    # terms, exactly as serving does (engine._bucket) — measured: the
+    # power-of-two padded shape often gathers FASTER than the exact
+    # T=1000 shape, so this is both the honest production shape and
+    # the better one. q/s still counts real (T-term) queries.
+    from cobs_tpu.query.engine import _bucket
+    T_pad = _bucket(T)
+
     def make_idxs(K):
-        return jnp.asarray(rng.integers(
-            0, sig_size, size=(K, B, T, num_hashes, 1)).astype(np.int32))
+        idx = np.full((K, B, T_pad, num_hashes, 1), sig_size,
+                      dtype=np.int32)  # sig_size = the all-zero row
+        idx[:, :, :T] = rng.integers(
+            0, sig_size, size=(K, B, T, num_hashes, 1)).astype(np.int32)
+        return jnp.asarray(idx)
 
     # difference two scan lengths: per-dispatch overhead (large on
     # remote/tunneled runtimes) cancels, leaving pure device time.
@@ -119,9 +130,10 @@ def main() -> None:
 
     queries = iters * B
     qps = queries / dt
-    # hot-loop HBM traffic: the row gather reads T*h rows of W words per
-    # query; score output write is negligible (B*W*32*4 per batch).
-    bytes_moved = queries * T * num_hashes * W * 4
+    # hot-loop HBM traffic: the row gather reads T_pad*h rows of W
+    # words per query (padding terms gather the zero row at full HBM
+    # cost); score output write is negligible (B*W*32*4 per batch).
+    bytes_moved = queries * T_pad * num_hashes * W * 4
     achieved_gbps = bytes_moved / dt / 1e9
     roofline = _chip_hbm_gbps(dev)
     # reference best case: DRAM-roofline row gather on one node
