@@ -552,16 +552,106 @@ class PendingHost:
         return out
 
 
+class QueryBytes:
+    """Marker payload for the device-hash serving path.
+
+    Wraps raw (validated) query byte strings; the engine's scorers
+    hash them ON DEVICE (ops/device_hash: window -> canonicalize ->
+    XXH64 -> per-page mod) inside the scoring program, so the
+    host->device transfer is the ~1 KB/query of raw bytes instead of
+    4 bytes per (term, hash, page) of precomputed row indices, and the
+    host spends no CPU hashing. Produced by Search when every backend
+    is an HBM-resident DeviceIndex (settings.device_hash)."""
+
+    __slots__ = ("queries",)
+
+    def __init__(self, queries: list[bytes]):
+        self.queries = queries
+
+    def __len__(self):
+        return len(self.queries)
+
+
+def _pack_query_bytes(queries: list[bytes], term_size: int):
+    """Pad queries to bucketed [B_pad, L_pad] u8 + true lengths i32.
+
+    Padding bytes are 'A' (any valid letter works — terms past a
+    query's true end are masked to the zero row on device)."""
+    B_pad = _bucket(len(queries))
+    L_max = max(len(q) for q in queries)
+    T_max = _bucket(L_max - term_size + 1)
+    L_pad = T_max + term_size - 1
+    qb = np.full((B_pad, L_pad), ord("A"), dtype=np.uint8)
+    lens = np.zeros(B_pad, dtype=np.int32)
+    for b, q in enumerate(queries):
+        a = np.frombuffer(q, dtype=np.uint8)
+        qb[b, :a.size] = a
+        lens[b] = a.size
+    return qb, lens, T_max
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+def _hash_gather_count(matrix, qbytes, qlens, term_size, num_hashes,
+                       canonicalize, sig_sizes, row_offsets, zero_row):
+    from cobs_tpu.ops.device_hash import rows_from_queries
+
+    rows = rows_from_queries(qbytes, qlens, term_size, num_hashes,
+                             canonicalize, sig_sizes, row_offsets,
+                             zero_row)
+    return _gather_count_planes(matrix, rows,
+                                num_hashes).reshape(rows.shape[0], -1)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
+def _hash_gather_count_topk(matrix, qbytes, qlens, valid_mask,
+                            term_size, num_hashes, canonicalize,
+                            sig_sizes, row_offsets, zero_row, k):
+    from cobs_tpu.ops.device_hash import rows_from_queries
+
+    rows = rows_from_queries(qbytes, qlens, term_size, num_hashes,
+                             canonicalize, sig_sizes, row_offsets,
+                             zero_row)
+    scores = _gather_count_planes(matrix, rows,
+                                  num_hashes).reshape(rows.shape[0], -1)
+    masked = jnp.where(valid_mask[None, :], scores, -1)
+    return jax.lax.top_k(masked, k)
+
+
+def _device_hash_args(index: DeviceIndex, qb: QueryBytes):
+    qbytes, lens, T_max = _pack_query_bytes(qb.queries,
+                                            index.term_size)
+    return (jnp.asarray(qbytes), jnp.asarray(lens), T_max,
+            tuple(int(s) for s in index.sig_sizes),
+            tuple(int(o) for o in index.row_offsets))
+
+
 def score_batch_async(index: DeviceIndex,
-                      hashes_list: list[np.ndarray],
+                      hashes_list: "list[np.ndarray] | QueryBytes",
                       timer: Timer | None = None) -> PendingScores:
     """Dispatch the fused gather/AND/count without fetching.
 
-    Returns a PendingScores whose fetch() yields the same int32
-    [B, counts_size] array as score_batch. At most a few of these
-    should be in flight at once (each holds a [B, counts] device
-    buffer, and unbounded async enqueue poisons tunneled devices).
+    `hashes_list` is either per-query host hash tensors or a
+    QueryBytes payload (device-side hashing). Returns a PendingScores
+    whose fetch() yields the same int32 [B, counts_size] array as
+    score_batch. At most a few of these should be in flight at once
+    (each holds a [B, counts] device buffer, and unbounded async
+    enqueue poisons tunneled devices).
     """
+    if isinstance(hashes_list, QueryBytes):
+        B = len(hashes_list)
+        dq, dl, T_max, sigs, offs = _device_hash_args(index, hashes_list)
+        if timer:
+            timer.active("io")
+        with jax.enable_x64():  # XXH64 needs (emulated) uint64
+            scores = _hash_gather_count(
+                index.matrix, dq, dl, index.term_size,
+                index.num_hashes, index.canonicalize, sigs, offs,
+                index.zero_row)
+        scores = _shrink_scores(scores, T_max)
+        if timer:
+            timer.stop()
+        return PendingScores(scores, B, index.num_pages,
+                             index.word_width, index.docs_per_page)
     B = len(hashes_list)
     B_pad = _bucket(B)
     T_max = _bucket(max(h.shape[0] for h in hashes_list))
@@ -1004,8 +1094,29 @@ def _gather_count_topk(matrix, rows_idx, valid_mask, num_hashes, k):
 def score_topk_async(index: DeviceIndex, hashes_list, k: int,
                      timer: Timer | None = None) -> PendingTopK:
     """Dispatch top-k scoring without fetching; fetch() yields the
-    score_topk contract. Same in-flight discipline as
+    score_topk contract (hashes_list may be a QueryBytes payload for
+    device-side hashing). Same in-flight discipline as
     score_batch_async."""
+    mask0 = getattr(index, "_valid_mask", None)
+    if mask0 is None:
+        mask0 = jax.device_put(_doc_valid_mask(
+            index.num_pages, index.word_width, index.docs_per_page,
+            len(index.file_names)))
+        index._valid_mask = mask0
+    if isinstance(hashes_list, QueryBytes):
+        B = len(hashes_list)
+        dq, dl, T_max, sigs, offs = _device_hash_args(index, hashes_list)
+        if timer:
+            timer.active("io")
+        with jax.enable_x64():  # XXH64 needs (emulated) uint64
+            vals, idx = _hash_gather_count_topk(
+                index.matrix, dq, dl, mask0, index.term_size,
+                index.num_hashes, index.canonicalize, sigs, offs,
+                index.zero_row, min(k, int(mask0.shape[0])))
+        if timer:
+            timer.stop()
+        return PendingTopK(vals, idx, B, index.word_width,
+                           index.docs_per_page)
     B = len(hashes_list)
     B_pad = _bucket(B)
     T_max = _bucket(max(h.shape[0] for h in hashes_list))

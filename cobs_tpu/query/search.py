@@ -20,6 +20,7 @@ import numpy as np
 
 from cobs_tpu.query.engine import (
     DeviceIndex,
+    QueryBytes,
     StreamedIndex,
     create_hashes,
     score_batch,
@@ -184,11 +185,26 @@ class Search:
                num_results: int = 0) -> list[SearchResult]:
         return self.search_batch([query], threshold, num_results)[0]
 
+    def _use_device_hash(self, ix) -> bool:
+        """Device-side hashing applies to HBM-resident backends only
+        (settings.device_hash; sharded/streamed paths need host-side
+        row ids)."""
+        from cobs_tpu.settings import settings
+
+        return (self._sharded is None
+                and isinstance(ix, DeviceIndex)
+                and str(settings.device_hash).lower()
+                in ("auto", "device", "1", "true"))
+
     def _hash_batch(self, qbytes, timer=None) -> list:
-        """Host stage: per-index hash tensors for a query batch.
+        """Host stage: per-index hash tensors for a query batch —
+        or a QueryBytes payload for device-hash-eligible indexes
+        (hashing then happens inside the scoring program).
 
         `timer` lets worker threads time into a private Timer (merged
         by the caller) instead of racing the main thread's phases."""
+        from cobs_tpu.ops.device_hash import validate_queries
+
         timer = self.timer_ if timer is None else timer
         max_term_size = max(ix.term_size for ix in self.index_files)
         for q in qbytes:
@@ -197,9 +213,15 @@ class Search:
                     f"query too short, needs to be at least "
                     f"{max_term_size} characters long")
         timer.active("hashes")
-        hashed = [create_hashes(qbytes, ix.term_size, ix.num_hashes,
-                                ix.canonicalize)
-                  for ix in self.index_files]
+        hashed = []
+        for ix in self.index_files:
+            if self._use_device_hash(ix):
+                validate_queries(qbytes, ix.term_size, ix.canonicalize)
+                hashed.append(QueryBytes(qbytes))
+            else:
+                hashed.append(create_hashes(
+                    qbytes, ix.term_size, ix.num_hashes,
+                    ix.canonicalize))
         timer.stop()
         return hashed
 
@@ -212,11 +234,34 @@ class Search:
         flagged slots carry a 1-term dummy hash so batch shapes stay
         static — their scores are discarded by the caller.
         """
+        from cobs_tpu.ops.device_hash import validate_queries
+
         max_term_size = max(ix.term_size for ix in self.index_files)
         errors: list[str | None] = [None] * len(qbytes)
         timer.active("hashes")
         hashed = []
         for ix in self.index_files:
+            if self._use_device_hash(ix):
+                # same per-query leniency: a bad query's slot carries a
+                # valid 1-term dummy (scores discarded by the caller)
+                cleaned = []
+                for b, q in enumerate(qbytes):
+                    if errors[b] is None:
+                        if len(q) < max_term_size:
+                            errors[b] = (
+                                f"query too short, needs to be at "
+                                f"least {max_term_size} characters "
+                                "long")
+                        else:
+                            try:
+                                validate_queries([q], ix.term_size,
+                                                 ix.canonicalize)
+                            except ValueError as e:
+                                errors[b] = str(e)
+                    cleaned.append(q if errors[b] is None
+                                   else b"A" * ix.term_size)
+                hashed.append(QueryBytes(cleaned))
+                continue
             dummy = np.zeros((1, ix.num_hashes), dtype=np.uint64)
             per_q = []
             for b, q in enumerate(qbytes):
