@@ -135,8 +135,33 @@ class ShardedIndex:
             rows_idx[b, :hs.shape[0]] = ix.row_indices(hs)
         return rows_idx
 
+    def _pack_queries(self, queries):
+        """Pad raw query bytes to mesh-divisible [B_pad, L_pad] u8 +
+        true lengths (the device-hash analog of _rows_idx; padding
+        bytes are 'A', terms past a query's end mask to the zero
+        row)."""
+        from cobs_tpu.query.engine import _bucket  # late: avoid cycle
+        k = self.index.term_size
+        n_batch = self.mesh.shape["batch"]
+        B_pad = _round_up(max(len(queries), n_batch), n_batch)
+        T_max = _bucket(max(len(q) for q in queries) - k + 1)
+        qb = np.full((B_pad, T_max + k - 1), ord("A"), dtype=np.uint8)
+        lens = np.zeros(B_pad, dtype=np.int32)
+        for b, q in enumerate(queries):
+            a = np.frombuffer(q, dtype=np.uint8)
+            qb[b, :a.size] = a
+            lens[b] = a.size
+        return qb, lens
+
+    def _hash_args(self):
+        ix = self.index
+        return (ix.term_size, ix.num_hashes, ix.canonicalize,
+                tuple(int(s) for s in ix.sig_sizes),
+                tuple(int(o) for o in ix.row_offsets))
+
     def score_batch(self, hashes_list) -> np.ndarray:
-        """Score a batch of queries (uint64 [T, h] raw hashes each)
+        """Score a batch of queries (uint64 [T, h] raw hashes each, or
+        an engine.QueryBytes payload for device-side hashing)
         across the mesh; returns int32 [B, counts_size] exactly like the
         single-chip ``engine.score_batch``.
 
@@ -145,7 +170,19 @@ class ShardedIndex:
         mesh axis and per-document scores merge with one psum
         (SURVEY §5's long-context mapping — no quadratic interaction
         exists, so a plain term shard + score reduction suffices)."""
+        from cobs_tpu.query.engine import QueryBytes
         from cobs_tpu.settings import settings
+
+        if isinstance(hashes_list, QueryBytes):
+            queries = hashes_list.queries
+            qb, lens = self._pack_queries(queries)
+            with jax.enable_x64():
+                scores = score_sharded_from_queries(
+                    self.mesh, self.matrix, jnp.asarray(qb),
+                    jnp.asarray(lens), *self._hash_args())
+            return assemble_scores(
+                _fetch(self.mesh, scores),
+                self.index.docs_per_page)[:len(queries)]
 
         T_max = max(h.shape[0] for h in hashes_list)
         if (self.mesh.shape["batch"] > 1
@@ -189,10 +226,11 @@ class ShardedIndex:
         score-slot numbering as engine.score_topk; padding slots carry
         score -1 and must be dropped by the caller.
         """
-        from cobs_tpu.query.engine import _doc_valid_mask
+        from cobs_tpu.query.engine import QueryBytes, _doc_valid_mask
         ix = self.index
         B = len(hashes_list)
-        rows_idx = self._rows_idx(hashes_list)
+        if not isinstance(hashes_list, QueryBytes):
+            rows_idx = self._rows_idx(hashes_list)
         if self._topk_mask is None:
             mask = _doc_valid_mask(ix.num_pages, self.word_width,
                                    ix.docs_per_page, len(ix.file_names))
@@ -201,9 +239,18 @@ class ShardedIndex:
                 mask, NamedSharding(self.mesh, P(None, "docs", None)))
         W32 = self.word_width * 32
         k_eff = min(k, W32 // self.mesh.shape["docs"] * ix.num_pages)
-        vals, gidx = _topk_sharded(self.mesh, self.matrix,
-                                   jnp.asarray(rows_idx),
-                                   self._topk_mask, ix.num_hashes, k_eff)
+        if isinstance(hashes_list, QueryBytes):
+            qb, lens = self._pack_queries(hashes_list.queries)
+            with jax.enable_x64():
+                vals, gidx = _topk_sharded_from_queries(
+                    self.mesh, self.matrix, jnp.asarray(qb),
+                    jnp.asarray(lens), self._topk_mask,
+                    *self._hash_args(), k_eff)
+        else:
+            vals, gidx = _topk_sharded(self.mesh, self.matrix,
+                                       jnp.asarray(rows_idx),
+                                       self._topk_mask, ix.num_hashes,
+                                       k_eff)
         vals = _fetch(self.mesh, vals)[:B]
         gidx = _fetch(self.mesh, gidx)[:B]
         # merge the per-shard candidate lists per query
@@ -243,6 +290,68 @@ def score_sharded(mesh: Mesh, matrix: jax.Array, rows_idx: jax.Array,
         local, mesh=mesh,
         in_specs=(P(None, "docs"), P("batch", None, None, None)),
         out_specs=P("batch", None, "docs", None))(matrix, rows_idx)
+
+
+def score_sharded_from_queries(mesh: Mesh, matrix: jax.Array, qbytes,
+                               qlens, term_size: int, num_hashes: int,
+                               canonicalize: int, sig_sizes: tuple,
+                               row_offsets: tuple) -> jax.Array:
+    """Sharded scoring with DEVICE-SIDE hashing (ops/device_hash).
+
+    Each "batch" shard receives its slice of raw query bytes (~1 KB
+    per query crossing the interconnect instead of 4 bytes per
+    (term, hash, page) of row indices — the broadcast shrinks 4x+) and
+    computes windows/canonicalization/XXH64/per-page-mod locally; the
+    gather-AND-count is the same shard-local hot loop as
+    score_sharded. Call under jax.enable_x64() (XXH64 needs emulated
+    uint64)."""
+    from cobs_tpu.ops.device_hash import rows_from_queries
+
+    zero_row = matrix.shape[0] - 1
+
+    def local(mat, qb, ql):
+        rows = rows_from_queries(qb, ql, term_size, num_hashes,
+                                 canonicalize, sig_sizes, row_offsets,
+                                 zero_row)
+        return _gather_count_planes(mat, rows, num_hashes)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "docs"), P("batch", None), P("batch")),
+        out_specs=P("batch", None, "docs", None))(matrix, qbytes, qlens)
+
+
+def _topk_sharded_from_queries(mesh: Mesh, matrix: jax.Array, qbytes,
+                               qlens, valid_mask, term_size: int,
+                               num_hashes: int, canonicalize: int,
+                               sig_sizes: tuple, row_offsets: tuple,
+                               k: int):
+    """Device-hash variant of _topk_sharded (same candidate contract)."""
+    from cobs_tpu.ops.device_hash import rows_from_queries
+
+    zero_row = matrix.shape[0] - 1
+
+    def local(mat, qb, ql, mask):
+        rows = rows_from_queries(qb, ql, term_size, num_hashes,
+                                 canonicalize, sig_sizes, row_offsets,
+                                 zero_row)
+        scores = _gather_count_planes(mat, rows, num_hashes)
+        Bl, Pp, Wl, _ = scores.shape
+        flat = jnp.where(mask, scores, -1).reshape(Bl, Pp * Wl * 32)
+        vals, lidx = jax.lax.top_k(flat, k)
+        w0 = lax.axis_index("docs") * Wl
+        W_glob = Wl * lax.axis_size("docs")
+        p = lidx // (Wl * 32)
+        r = lidx % (Wl * 32)
+        gidx = p * (W_glob * 32) + (w0 * 32 + r)
+        return vals, gidx.astype(jnp.int32)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "docs"), P("batch", None), P("batch"),
+                  P(None, "docs", None)),
+        out_specs=(P("batch", "docs"), P("batch", "docs")))(
+            matrix, qbytes, qlens, valid_mask)
 
 
 def _topk_sharded(mesh: Mesh, matrix: jax.Array, rows_idx: jax.Array,

@@ -185,16 +185,24 @@ class Search:
                num_results: int = 0) -> list[SearchResult]:
         return self.search_batch([query], threshold, num_results)[0]
 
-    def _use_device_hash(self, ix) -> bool:
-        """Device-side hashing applies to HBM-resident backends only
-        (settings.device_hash; sharded/streamed paths need host-side
-        row ids)."""
+    def _use_device_hash(self, ix, qbytes) -> bool:
+        """Device-side hashing applies to device-resident matrices:
+        plain DeviceIndex backends and mesh-sharded search (where the
+        query-bytes broadcast also shrinks the interconnect traffic
+        4x+). Streamed (host-scored) backends need host-side row ids,
+        and the sequence-parallel split still hashes on the host."""
         from cobs_tpu.settings import settings
 
-        return (self._sharded is None
-                and isinstance(ix, DeviceIndex)
-                and str(settings.device_hash).lower()
-                in ("auto", "device", "1", "true"))
+        if str(settings.device_hash).lower() not in (
+                "auto", "device", "1", "true"):
+            return False
+        if self._sharded is not None:
+            if self._sharded[0].mesh.shape["batch"] > 1:
+                t_max = max(len(q) for q in qbytes) - ix.term_size + 1
+                if t_max >= settings.seq_split_terms:
+                    return False  # _score_batch_seq needs host hashes
+            return True
+        return isinstance(ix, DeviceIndex)
 
     def _hash_batch(self, qbytes, timer=None) -> list:
         """Host stage: per-index hash tensors for a query batch —
@@ -215,7 +223,7 @@ class Search:
         timer.active("hashes")
         hashed = []
         for ix in self.index_files:
-            if self._use_device_hash(ix):
+            if self._use_device_hash(ix, qbytes):
                 validate_queries(qbytes, ix.term_size, ix.canonicalize)
                 hashed.append(QueryBytes(qbytes))
             else:
@@ -241,7 +249,7 @@ class Search:
         timer.active("hashes")
         hashed = []
         for ix in self.index_files:
-            if self._use_device_hash(ix):
+            if self._use_device_hash(ix, qbytes):
                 # same per-query leniency: a bad query's slot carries a
                 # valid 1-term dummy (scores discarded by the caller)
                 cleaned = []

@@ -139,3 +139,33 @@ def test_device_hash_error_parity(tmp_path, rng, _device_hash_toggle):
     assert isinstance(res[3], QueryError)
     for i in (0, 2, 4):
         assert not isinstance(res[i], QueryError)
+
+
+def test_sharded_search_matches_host_hashing(tmp_path, rng,
+                                             _device_hash_toggle):
+    """Mesh-sharded search with device hashing equals host hashing
+    (the query-bytes broadcast replaces the row-index broadcast)."""
+    import jax as _jax
+    from cobs_tpu.parallel import make_mesh
+
+    if len(_jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+    docs = _corpus(tmp_path, rng, n_docs=40)
+    out = tmp_path / "t.cobs_classic"
+    assert cli.main(["classic-construct", str(docs), str(out)]) == 0
+
+    mesh = make_mesh(n_batch=2, n_docs=4)
+    queries = _random_queries(rng, 6, 45, 100)
+
+    settings.device_hash = "host"
+    want = _results(Search(str(out), mesh=mesh)
+                    .search_batch(queries, 0.0, 0))
+    want_topk = _results(Search(str(out), mesh=mesh)
+                         .search_batch(queries, 0.0, 4))
+
+    settings.device_hash = "device"
+    s = Search(str(out), mesh=mesh)
+    hashed = s._hash_batch(queries)
+    assert all(hasattr(h, "queries") for h in hashed)
+    assert _results(s.search_batch(queries, 0.0, 0)) == want
+    assert _results(s.search_batch(queries, 0.0, 4)) == want_topk
