@@ -137,24 +137,20 @@ class ShardedIndex:
 
     def _pack_queries(self, queries):
         """Pad raw query bytes to mesh-divisible [B_pad, L_pad] u8 +
-        true lengths (the device-hash analog of _rows_idx; padding
-        bytes are 'A', terms past a query's end mask to the zero
-        row)."""
-        from cobs_tpu.query.engine import _bucket  # late: avoid cycle
-        k = self.index.term_size
+        true lengths (the device-hash analog of _rows_idx; the batch
+        axis rounds to the mesh's "batch" size instead of the
+        single-chip jit bucket)."""
+        from cobs_tpu.query.engine import _pack_query_bytes
         n_batch = self.mesh.shape["batch"]
-        B_pad = _round_up(max(len(queries), n_batch), n_batch)
-        T_max = _bucket(max(len(q) for q in queries) - k + 1)
-        qb = np.full((B_pad, T_max + k - 1), ord("A"), dtype=np.uint8)
-        lens = np.zeros(B_pad, dtype=np.int32)
-        for b, q in enumerate(queries):
-            a = np.frombuffer(q, dtype=np.uint8)
-            qb[b, :a.size] = a
-            lens[b] = a.size
+        b_pad = _round_up(max(len(queries), n_batch), n_batch)
+        qb, lens, _ = _pack_query_bytes(queries, self.index.term_size,
+                                        b_pad=b_pad)
         return qb, lens
 
     def _hash_args(self):
         ix = self.index
+        if self.matrix.shape[0] > np.iinfo(np.int32).max:
+            raise ValueError("index too large for int32 row addressing")
         return (ix.term_size, ix.num_hashes, ix.canonicalize,
                 tuple(int(s) for s in ix.sig_sizes),
                 tuple(int(o) for o in ix.row_offsets))
@@ -336,15 +332,7 @@ def _topk_sharded_from_queries(mesh: Mesh, matrix: jax.Array, qbytes,
                                  canonicalize, sig_sizes, row_offsets,
                                  zero_row)
         scores = _gather_count_planes(mat, rows, num_hashes)
-        Bl, Pp, Wl, _ = scores.shape
-        flat = jnp.where(mask, scores, -1).reshape(Bl, Pp * Wl * 32)
-        vals, lidx = jax.lax.top_k(flat, k)
-        w0 = lax.axis_index("docs") * Wl
-        W_glob = Wl * lax.axis_size("docs")
-        p = lidx // (Wl * 32)
-        r = lidx % (Wl * 32)
-        gidx = p * (W_glob * 32) + (w0 * 32 + r)
-        return vals, gidx.astype(jnp.int32)
+        return _local_topk(scores, mask, k)
 
     return jax.shard_map(
         local, mesh=mesh,
@@ -352,6 +340,22 @@ def _topk_sharded_from_queries(mesh: Mesh, matrix: jax.Array, qbytes,
                   P(None, "docs", None)),
         out_specs=(P("batch", "docs"), P("batch", "docs")))(
             matrix, qbytes, qlens, valid_mask)
+
+
+def _local_topk(scores, mask, k: int):
+    """Shard-local top-k + local->global flat-index mapping (shared by
+    the host-hashed and device-hashed shard_map locals; the flat index
+    runs over the page-major [pages, W_global, 32] score layout,
+    matching engine.score_topk's numbering)."""
+    Bl, Pp, Wl, _ = scores.shape
+    flat = jnp.where(mask, scores, -1).reshape(Bl, Pp * Wl * 32)
+    vals, lidx = jax.lax.top_k(flat, k)
+    w0 = lax.axis_index("docs") * Wl
+    W_glob = Wl * lax.axis_size("docs")
+    p = lidx // (Wl * 32)
+    r = lidx % (Wl * 32)
+    gidx = p * (W_glob * 32) + (w0 * 32 + r)
+    return vals, gidx.astype(jnp.int32)
 
 
 def _topk_sharded(mesh: Mesh, matrix: jax.Array, rows_idx: jax.Array,
@@ -366,16 +370,7 @@ def _topk_sharded(mesh: Mesh, matrix: jax.Array, rows_idx: jax.Array,
 
     def local(mat, idx, mask):
         scores = _gather_count_planes(mat, idx, num_hashes)
-        Bl, Pp, Wl, _ = scores.shape
-        flat = jnp.where(mask, scores, -1).reshape(Bl, Pp * Wl * 32)
-        vals, lidx = jax.lax.top_k(flat, k)
-        # local flat index -> global [pages, W_global, 32] flat index
-        w0 = lax.axis_index("docs") * Wl
-        W_glob = Wl * lax.axis_size("docs")
-        p = lidx // (Wl * 32)
-        r = lidx % (Wl * 32)
-        gidx = p * (W_glob * 32) + (w0 * 32 + r)
-        return vals, gidx.astype(jnp.int32)
+        return _local_topk(scores, mask, k)
 
     return jax.shard_map(
         local, mesh=mesh,

@@ -359,6 +359,34 @@ def _chunk_for(T: int, target: int) -> int:
     return -(-T // n)
 
 
+def _plan_chunks(T: int, h: int, budget_terms: int) -> int | None:
+    """Scan chunk size for a T-term gather->count, or None = single
+    shot. Invariant: a returned chunk is >= _CSA_CHUNK whenever
+    T//2 >= _CSA_CHUNK, so no chunk drops to the naive expand-sum
+    count (~15x the packed-CSA VPU work) — the one exception is a
+    budget too small for even one _CSA_CHUNK-term gather."""
+    # target scales inversely with num_hashes so each chunk gathers a
+    # constant byte volume (h rows per term): at h=3 a 167-term chunk
+    # measured 17.1k q/s vs 14.3-16.8k for 250/500-term chunks (r3
+    # round-robin sweep, B=64, T=1000)
+    tc = max(_CSA_CHUNK, _COUNT_CHUNK // h)
+    if budget_terms < tc:
+        tc = max(_CSA_CHUNK, budget_terms // _CSA_CHUNK * _CSA_CHUNK)
+    if T <= tc or (T <= 2 * _CSA_CHUNK and budget_terms >= T):
+        # splitting a T <= 2*_CSA_CHUNK axis would drop every chunk
+        # below the packed-CSA floor
+        return None
+    # >= 2 chunks (the scan overlap needs at least two), sized to a
+    # divisor of T near the target so the tail chunk carries no padding
+    tc = _chunk_for(T, min(tc, -(-T // 2)))
+    if tc < _CSA_CHUNK <= T // 2:
+        # a divisor chunk below the CSA floor costs more in naive
+        # counting than its zero padding saves in gather traffic: take
+        # the largest chunk count that keeps every chunk >= _CSA_CHUNK
+        tc = -(-T // max(2, T // _CSA_CHUNK))
+    return tc
+
+
 def _gather_count_once(matrix, rows_idx, num_hashes):
     g = jnp.take(matrix, rows_idx, axis=0)          # [B, T, h, P, W] u32
     anded = g[:, :, 0]
@@ -389,19 +417,10 @@ def _gather_count_planes(matrix: jax.Array, rows_idx: jax.Array,
     """
     B, T, h, P = rows_idx.shape
     W = matrix.shape[1]
-    # scale the target inversely with num_hashes so each chunk gathers
-    # a constant byte volume (h rows per term): at h=3 a 167-term chunk
-    # measured 17.1k q/s vs 14.3-16.8k for 250/500-term chunks (r3
-    # round-robin sweep, B=64, T=1000)
-    tc = max(_CSA_CHUNK, _COUNT_CHUNK // h)
     budget_terms = _GATHER_BYTES_BUDGET // max(B * h * P * W * 4, 1)
-    if budget_terms < tc:
-        tc = max(_CSA_CHUNK, budget_terms // _CSA_CHUNK * _CSA_CHUNK)
-    if T <= min(tc, 2 * _CSA_CHUNK):
+    tc = _plan_chunks(T, h, budget_terms)
+    if tc is None:
         return _gather_count_once(matrix, rows_idx, num_hashes)
-    # >= 2 chunks (the scan overlap needs at least two), sized to a
-    # divisor of T near the target so the tail chunk carries no padding
-    tc = _chunk_for(T, min(tc, -(-T // 2)))
     pad = (-T) % tc
     if pad:
         # padding terms point at the all-zero last row
@@ -560,8 +579,9 @@ class QueryBytes:
     XXH64 -> per-page mod) inside the scoring program, so the
     host->device transfer is the ~1 KB/query of raw bytes instead of
     4 bytes per (term, hash, page) of precomputed row indices, and the
-    host spends no CPU hashing. Produced by Search when every backend
-    is an HBM-resident DeviceIndex (settings.device_hash)."""
+    host spends no CPU hashing. Produced by Search for device-resident
+    matrices: plain DeviceIndex backends and mesh-sharded search
+    (settings.device_hash)."""
 
     __slots__ = ("queries",)
 
@@ -572,12 +592,15 @@ class QueryBytes:
         return len(self.queries)
 
 
-def _pack_query_bytes(queries: list[bytes], term_size: int):
+def _pack_query_bytes(queries: list[bytes], term_size: int,
+                      b_pad: int | None = None):
     """Pad queries to bucketed [B_pad, L_pad] u8 + true lengths i32.
 
     Padding bytes are 'A' (any valid letter works — terms past a
-    query's true end are masked to the zero row on device)."""
-    B_pad = _bucket(len(queries))
+    query's true end are masked to the zero row on device). b_pad
+    overrides the batch-axis padding (mesh callers round to the
+    "batch" axis size instead of the jit bucket)."""
+    B_pad = _bucket(len(queries)) if b_pad is None else b_pad
     L_max = max(len(q) for q in queries)
     T_max = _bucket(L_max - term_size + 1)
     L_pad = T_max + term_size - 1
@@ -618,6 +641,10 @@ def _hash_gather_count_topk(matrix, qbytes, qlens, valid_mask,
 
 
 def _device_hash_args(index: DeviceIndex, qb: QueryBytes):
+    if index.matrix.shape[0] > np.iinfo(np.int32).max:
+        # same guard as the host path's row_indices — device hashing
+        # must not silently truncate row ids
+        raise ValueError("index too large for int32 row addressing")
     qbytes, lens, T_max = _pack_query_bytes(qb.queries,
                                             index.term_size)
     return (jnp.asarray(qbytes), jnp.asarray(lens), T_max,
@@ -1127,12 +1154,7 @@ def score_topk_async(index: DeviceIndex, hashes_list, k: int,
     for b, hs in enumerate(hashes_list):
         rows_idx[b, :hs.shape[0]] = index.row_indices(hs)
 
-    mask = getattr(index, "_valid_mask", None)
-    if mask is None:
-        mask = jax.device_put(_doc_valid_mask(
-            P, index.word_width, index.docs_per_page,
-            len(index.file_names)))
-        index._valid_mask = mask
+    mask = mask0  # built above, before the QueryBytes branch
 
     if timer:
         timer.active("io")

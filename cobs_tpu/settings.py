@@ -39,12 +39,13 @@ class Settings:
     #! paying a host->device upload per batch usually loses)
     streamed_host_score: str = os.environ.get(
         "COBS_TPU_STREAMED_SCORE", "auto")
-    #! where query hashing runs for HBM-resident (DeviceIndex)
-    #! backends: "auto"/"device" = inside the scoring program (upload
-    #! raw query bytes — ~4x less H2D than precomputed row indices —
-    #! and hash/canonicalize/mod on device, ops/device_hash), "host" =
-    #! the native host pipeline. Streamed/sharded backends always hash
-    #! on the host (they need the row ids host-side).
+    #! where query hashing runs for device-resident matrices
+    #! (DeviceIndex backends and mesh-sharded search): "auto"/"device"
+    #! = inside the scoring program (upload raw query bytes — ~4x less
+    #! H2D/broadcast than precomputed row indices — and hash/
+    #! canonicalize/mod on device, ops/device_hash), "host" = the
+    #! native host pipeline. Streamed (host-scored) backends and the
+    #! sequence-parallel long-query split always hash on the host.
     device_hash: str = os.environ.get("COBS_TPU_DEVICE_HASH", "auto")
 
 

@@ -140,3 +140,21 @@ def test_chunk_for_divides_with_bounded_tail():
             n = -(-T // tc)
             assert n * tc - T < n  # tail padding < chunks
             assert n == -(-T // target)  # same dispatch count as fixed
+
+
+def test_plan_chunks_csa_floor():
+    """No planned chunk may fall below the packed-CSA floor (the naive
+    expand-sum count is ~15x the VPU work): regression for h>=3
+    mid-length buckets like T=192 @ h=3 and T=272 @ h=4."""
+    from cobs_tpu.query.engine import _CSA_CHUNK, _plan_chunks
+
+    big = 1 << 30
+    for h in (1, 2, 3, 4, 8):
+        for T in list(range(1, 2049)) + [4096, 100_000]:
+            tc = _plan_chunks(T, h, big)
+            if tc is None:
+                continue  # single shot
+            assert tc >= _CSA_CHUNK or T // 2 < _CSA_CHUNK, (T, h, tc)
+            n = -(-T // tc)
+            assert n >= 2, (T, h, tc)
+            assert n * tc - T < tc  # padding < one chunk
