@@ -90,6 +90,11 @@ def cost_model(n_devices: int, W_per_shard: int, T: int,
             T * num_hashes * W_per_shard * 4,
         "collective_bytes_per_query": 0,
         "broadcast_bytes_per_query": T * num_hashes * 4,
+        # Search's default device-hash path broadcasts raw query bytes
+        # instead of row indices: ~(T + k - 1) bytes per query,
+        # num_hashes- and page-count-independent (sharded.py
+        # score_sharded_from_queries)
+        "broadcast_bytes_per_query_device_hash": T + 30,
         "cpu_proxy": cpu_proxy,
         "predicted_efficiency":
             min(1.0, phys / n_devices) if cpu_proxy else 1.0,
