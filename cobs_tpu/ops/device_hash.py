@@ -149,14 +149,51 @@ def canonicalize_device(windows):
     return jnp.where(use_reverse[..., None], rm, windows)
 
 
-def rows_from_queries(qbytes, qlens, term_size: int, num_hashes: int,
+#: ASCII -> 2-bit code (A=0, C=1, G=2, T=3) for the packed upload path
+_ACGT_CODE = np.zeros(256, dtype=np.uint8)
+for _i, _c in enumerate(b"ACGT"):
+    _ACGT_CODE[_c] = _i
+
+
+def pack_queries_2bit(qbytes: np.ndarray) -> np.ndarray:
+    """Host side: ASCII ACGT [B, L] u8 -> 2-bit packed [B, ceil(L/4)].
+
+    Input must be validated ACGT (+ 'A' padding); 4x less
+    host->device traffic than raw bytes — the dominant serving cost on
+    slow links once hashing moved on-device."""
+    B, L = qbytes.shape
+    codes = _ACGT_CODE[qbytes]
+    pad = (-L) % 4
+    if pad:
+        codes = np.pad(codes, ((0, 0), (0, pad)))  # 'A' = code 0
+    c = codes.reshape(B, -1, 4).astype(np.uint16)
+    return (c[..., 0] | (c[..., 1] << 2) | (c[..., 2] << 4)
+            | (c[..., 3] << 6)).astype(np.uint8)
+
+
+def decode_2bit_device(packed, L: int):
+    """Device side: 2-bit packed [B, Wp] u8 -> ASCII ACGT [B, L] u8.
+
+    Pure elementwise ops (shifts + a 3-way arithmetic select), no
+    table gathers — code 0..3 -> 65/67/71/84."""
+    parts = [(packed >> jnp.uint8(2 * j)) & jnp.uint8(3)
+             for j in range(4)]
+    c = jnp.stack(parts, axis=-1).reshape(packed.shape[0], -1)[:, :L]
+    ascii_ = (jnp.uint8(65) + jnp.uint8(2) * c
+              + jnp.uint8(2) * (c == 2).astype(jnp.uint8))
+    return jnp.where(c == 3, jnp.uint8(84), ascii_)
+
+
+def rows_from_queries(qdata, qlens, term_size: int, num_hashes: int,
                       canonicalize: int, sig_sizes: tuple,
-                      row_offsets: tuple, zero_row: int):
+                      row_offsets: tuple, zero_row: int,
+                      packed_len: int = 0):
     """Row-id matrix int32 [B, T, h, P] from raw query bytes on device.
 
     Args:
-      qbytes: uint8 [B, L] — queries padded (with any valid letter) to
-        the bucketed length L.
+      qdata: uint8 [B, L] — queries padded (with any valid letter) to
+        the bucketed length L; or, when packed_len = L > 0, the 2-bit
+        packed form [B, ceil(L/4)] (pack_queries_2bit).
       qlens: int32 [B] — true byte length of each query.
       sig_sizes / row_offsets: per-page signature sizes and global row
         offsets (trace-time constants, so each ``% sig`` strength-
@@ -166,6 +203,8 @@ def rows_from_queries(qbytes, qlens, term_size: int, num_hashes: int,
     host path's padding (engine._prepare).
     """
     k = term_size
+    qbytes = (decode_2bit_device(qdata, packed_len) if packed_len
+              else qdata)
     B, L = qbytes.shape
     T = L - k + 1
     # k static slices instead of a [B, T, k] gather (the gather formed

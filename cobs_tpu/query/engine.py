@@ -613,27 +613,29 @@ def _pack_query_bytes(queries: list[bytes], term_size: int,
     return qb, lens, T_max
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
-def _hash_gather_count(matrix, qbytes, qlens, term_size, num_hashes,
-                       canonicalize, sig_sizes, row_offsets, zero_row):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _hash_gather_count(matrix, qdata, qlens, term_size, num_hashes,
+                       canonicalize, sig_sizes, row_offsets, zero_row,
+                       packed_len):
     from cobs_tpu.ops.device_hash import rows_from_queries
 
-    rows = rows_from_queries(qbytes, qlens, term_size, num_hashes,
+    rows = rows_from_queries(qdata, qlens, term_size, num_hashes,
                              canonicalize, sig_sizes, row_offsets,
-                             zero_row)
+                             zero_row, packed_len)
     return _gather_count_planes(matrix, rows,
                                 num_hashes).reshape(rows.shape[0], -1)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
-def _hash_gather_count_topk(matrix, qbytes, qlens, valid_mask,
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+def _hash_gather_count_topk(matrix, qdata, qlens, valid_mask,
                             term_size, num_hashes, canonicalize,
-                            sig_sizes, row_offsets, zero_row, k):
+                            sig_sizes, row_offsets, zero_row, k,
+                            packed_len):
     from cobs_tpu.ops.device_hash import rows_from_queries
 
-    rows = rows_from_queries(qbytes, qlens, term_size, num_hashes,
+    rows = rows_from_queries(qdata, qlens, term_size, num_hashes,
                              canonicalize, sig_sizes, row_offsets,
-                             zero_row)
+                             zero_row, packed_len)
     scores = _gather_count_planes(matrix, rows,
                                   num_hashes).reshape(rows.shape[0], -1)
     masked = jnp.where(valid_mask[None, :], scores, -1)
@@ -647,9 +649,17 @@ def _device_hash_args(index: DeviceIndex, qb: QueryBytes):
         raise ValueError("index too large for int32 row addressing")
     qbytes, lens, T_max = _pack_query_bytes(qb.queries,
                                             index.term_size)
+    if index.canonicalize == 1:
+        # validated ACGT packs 2 bits/base: another 4x off the upload
+        # (text mode hashes arbitrary bytes, so it ships them raw)
+        from cobs_tpu.ops.device_hash import pack_queries_2bit
+        packed_len = qbytes.shape[1]
+        qbytes = pack_queries_2bit(qbytes)
+    else:
+        packed_len = 0
     return (jnp.asarray(qbytes), jnp.asarray(lens), T_max,
             tuple(int(s) for s in index.sig_sizes),
-            tuple(int(o) for o in index.row_offsets))
+            tuple(int(o) for o in index.row_offsets), packed_len)
 
 
 def score_batch_async(index: DeviceIndex,
@@ -666,14 +676,15 @@ def score_batch_async(index: DeviceIndex,
     """
     if isinstance(hashes_list, QueryBytes):
         B = len(hashes_list)
-        dq, dl, T_max, sigs, offs = _device_hash_args(index, hashes_list)
+        dq, dl, T_max, sigs, offs, plen = _device_hash_args(
+            index, hashes_list)
         if timer:
             timer.active("io")
         with jax.enable_x64():  # XXH64 needs (emulated) uint64
             scores = _hash_gather_count(
                 index.matrix, dq, dl, index.term_size,
                 index.num_hashes, index.canonicalize, sigs, offs,
-                index.zero_row)
+                index.zero_row, plen)
         scores = _shrink_scores(scores, T_max)
         if timer:
             timer.stop()
@@ -1132,14 +1143,15 @@ def score_topk_async(index: DeviceIndex, hashes_list, k: int,
         index._valid_mask = mask0
     if isinstance(hashes_list, QueryBytes):
         B = len(hashes_list)
-        dq, dl, T_max, sigs, offs = _device_hash_args(index, hashes_list)
+        dq, dl, T_max, sigs, offs, plen = _device_hash_args(
+            index, hashes_list)
         if timer:
             timer.active("io")
         with jax.enable_x64():  # XXH64 needs (emulated) uint64
             vals, idx = _hash_gather_count_topk(
                 index.matrix, dq, dl, mask0, index.term_size,
                 index.num_hashes, index.canonicalize, sigs, offs,
-                index.zero_row, min(k, int(mask0.shape[0])))
+                index.zero_row, min(k, int(mask0.shape[0])), plen)
         if timer:
             timer.stop()
         return PendingTopK(vals, idx, B, index.word_width,

@@ -169,3 +169,14 @@ def test_sharded_search_matches_host_hashing(tmp_path, rng,
     assert all(hasattr(h, "queries") for h in hashed)
     assert _results(s.search_batch(queries, 0.0, 0)) == want
     assert _results(s.search_batch(queries, 0.0, 4)) == want_topk
+
+
+def test_pack_2bit_roundtrip(rng):
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    for L in (4, 7, 31, 64, 1030):
+        qb = acgt[rng.integers(0, 4, size=(5, L))]
+        packed = dh.pack_queries_2bit(qb)
+        assert packed.shape == (5, -(-L // 4))
+        got = np.asarray(jax.jit(
+            lambda p: dh.decode_2bit_device(p, L))(jnp.asarray(packed)))
+        assert (got == qb).all(), L
