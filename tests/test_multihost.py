@@ -34,7 +34,10 @@ def _run_two_process(worker: str, expect: str, extra_args=()):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=150)
+            # generous: under a full-suite run the host's cores are
+            # oversubscribed and the coordinator handshake + two jit
+            # compiles can take minutes (observed flake at 150 s)
+            out, _ = p.communicate(timeout=600)
             outs.append(out)
     finally:
         for p in procs:
