@@ -401,6 +401,53 @@ def _gather_count_once(matrix, rows_idx, num_hashes):
     return jnp.sum(_expand32(flat), axis=1).reshape(B, P, W, 32)
 
 
+#: fused-chunk byte bound: one term-chunk's gathered block
+#: [Bs, tc, h, P, W] u32. The headline 10k-doc config runs at ~33 MiB
+#: and hits the same-shape gather ceiling; at wide rows a full-batch
+#: chunk is hundreds of MB and the packed-CSA count's plane
+#: intermediates spill to HBM, multiplying traffic (measured e2e
+#: collapse 127 -> 31 GB/s as rows widen 1.5 -> 96 KB while gather-only
+#: RISES 127 -> 218 GB/s; experiments/wide_diag.py). Tiling the batch
+#: axis so chunks stay near this bound recovered 2-4.4x at wide rows
+#: with full-width rows still feeding the gather engine.
+_FUSED_CHUNK_BYTES = 48 << 20
+
+
+def _plan_batch_tile(B: int, tc: int, h: int, P: int, W: int) -> int:
+    """Largest divisor Bs of B whose [Bs, tc, h, P, W] gathered chunk
+    stays under _FUSED_CHUNK_BYTES (>= 1)."""
+    chunk_words = tc * h * P * W
+    Bs = B
+    while Bs > 1 and (B % Bs or Bs * chunk_words * 4 > _FUSED_CHUNK_BYTES):
+        Bs -= 1
+    return Bs
+
+
+def _gather_count_block(matrix, rows_idx, num_hashes, tc):
+    """rows block [Bs, T', h, P] -> [Bs, P, W, 32]; tc None = single
+    shot, else T' % tc == 0 and the term axis streams through a
+    lax.scan of tc-term chunks."""
+    if tc is None:
+        return _gather_count_once(matrix, rows_idx, num_hashes)
+    Bs, Tp, h, P = rows_idx.shape
+    W = matrix.shape[1]
+    chunks = jnp.moveaxis(
+        rows_idx.reshape(Bs, Tp // tc, tc, h, P), 1, 0)
+
+    def body(acc, idx_c):
+        return acc + _gather_count_once(matrix, idx_c, num_hashes), None
+
+    # data-derived zero: inside shard_map the carry must share the
+    # body output's varying manual axes (matrix varies over the doc
+    # shard axis, rows_idx over the batch axis); XLA folds this to a
+    # plain zeros fill
+    zero = ((matrix[-1, 0] & jnp.uint32(0)).astype(jnp.int32)
+            + rows_idx[0, 0, 0, 0] * 0)
+    acc0 = jnp.zeros((Bs, P, W, 32), jnp.int32) + zero
+    scores, _ = lax.scan(body, acc0, chunks)
+    return scores
+
+
 def _gather_count_planes(matrix: jax.Array, rows_idx: jax.Array,
                          num_hashes: int) -> jax.Array:
     """matrix u32 [R, W], rows_idx i32 [B, T, h, P] -> i32 [B, P, W, 32].
@@ -413,36 +460,30 @@ def _gather_count_planes(matrix: jax.Array, rows_idx: jax.Array,
     Long queries stream the term axis through a lax.scan of
     _COUNT_CHUNK-term chunks — the scan pipeline overlaps each chunk's
     HBM gather with the previous chunk's count, and also bounds the
-    materialized gather under the HBM budget.
+    materialized gather under the HBM budget. Wide rows (many
+    documents, or many compact pages) additionally tile the BATCH axis
+    so each fused chunk stays near _FUSED_CHUNK_BYTES — full-width rows
+    keep the wide-row gather bandwidth while the count's working set
+    stays on-chip (measured 2-4.4x at 6-96 KB rows, wide_diag.py).
     """
     B, T, h, P = rows_idx.shape
     W = matrix.shape[1]
     budget_terms = _GATHER_BYTES_BUDGET // max(B * h * P * W * 4, 1)
     tc = _plan_chunks(T, h, budget_terms)
-    if tc is None:
-        return _gather_count_once(matrix, rows_idx, num_hashes)
-    pad = (-T) % tc
+    pad = (-T) % tc if tc else 0
     if pad:
         # padding terms point at the all-zero last row
         rows_idx = jnp.concatenate([
             rows_idx,
             jnp.full((B, pad, h, P), matrix.shape[0] - 1, jnp.int32)],
             axis=1)
-    chunks = jnp.moveaxis(
-        rows_idx.reshape(B, (T + pad) // tc, tc, h, P), 1, 0)
-
-    def body(acc, idx_c):
-        return acc + _gather_count_once(matrix, idx_c, num_hashes), None
-
-    # data-derived zero: inside shard_map the carry must share the
-    # body output's varying manual axes (matrix varies over the doc
-    # shard axis, rows_idx over the batch axis); XLA folds this to a
-    # plain zeros fill
-    zero = ((matrix[-1, 0] & jnp.uint32(0)).astype(jnp.int32)
-            + rows_idx[0, 0, 0, 0] * 0)
-    acc0 = jnp.zeros((B, P, W, 32), jnp.int32) + zero
-    scores, _ = lax.scan(body, acc0, chunks)
-    return scores
+    Bs = _plan_batch_tile(B, tc if tc else (T + pad), h, P, W)
+    if Bs == B:
+        return _gather_count_block(matrix, rows_idx, num_hashes, tc)
+    sub = rows_idx.reshape(B // Bs, Bs, T + pad, h, P)
+    out = lax.map(
+        lambda rs: _gather_count_block(matrix, rs, num_hashes, tc), sub)
+    return out.reshape(B, P, W, 32)
 
 
 @functools.partial(jax.jit, static_argnames=("num_hashes",))

@@ -108,6 +108,47 @@ def test_chunked_gather_matches_unchunked(rng, monkeypatch):
     np.testing.assert_array_equal(got, want)
 
 
+def test_batch_tiled_gather_matches_untiled(rng, monkeypatch):
+    """The batch-tiled wide-row path (lax.map over sub-batches) must be
+    bit-exact vs the full-batch path (regression: tiling otherwise only
+    triggers on multi-hundred-MB chunks, i.e. wide-corpus shapes)."""
+    import cobs_tpu.query.engine as eng
+
+    sig, W, h = 1031, 16, 2
+    matrix = jnp.asarray(np.concatenate([
+        rng.integers(0, 1 << 32, size=(sig, W), dtype=np.uint32),
+        np.zeros((1, W), np.uint32)], axis=0))
+    for B, T in [(6, 517), (5, 517), (4, 60), (1, 300)]:
+        rows_idx = rng.integers(
+            0, sig, size=(B, T, h, 1)).astype(np.int32)
+        want = np.asarray(eng._gather_and_count(
+            matrix, jnp.asarray(rows_idx), h))
+        # a budget of one 2-query x CSA-chunk block forces Bs < B
+        # whenever B > 2 (B=5: prime -> Bs=1; B=1: no tiling possible)
+        monkeypatch.setattr(eng, "_FUSED_CHUNK_BYTES",
+                            2 * eng._CSA_CHUNK * h * W * 4)
+        tiled = eng._gather_and_count.__wrapped__
+        got = np.asarray(tiled(matrix, jnp.asarray(rows_idx), h))
+        monkeypatch.undo()
+        np.testing.assert_array_equal(got, want, err_msg=f"B={B} T={T}")
+
+
+def test_plan_batch_tile_invariants():
+    from cobs_tpu.query.engine import (_FUSED_CHUNK_BYTES,
+                                       _plan_batch_tile)
+
+    for B in [1, 2, 5, 8, 64, 67, 96]:
+        for tc, h, P, W in [(128, 1, 1, 384), (256, 3, 1, 6144),
+                            (342, 1, 40, 128), (512, 1, 1, 24576)]:
+            Bs = _plan_batch_tile(B, tc, h, P, W)
+            assert 1 <= Bs <= B and B % Bs == 0
+            # under the bound, or indivisible below it
+            assert (Bs * tc * h * P * W * 4 <= _FUSED_CHUNK_BYTES
+                    or Bs == 1)
+    # headline config is untouched (Bs == B)
+    assert _plan_batch_tile(64, 342, 1, 1, 384) == 64
+
+
 def test_bucket_waste_bound():
     """The term-axis bucket ladder caps padding waste at 12.5% —
     zero-row padding gathers cost full HBM time (measured r3), so the
