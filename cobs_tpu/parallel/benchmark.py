@@ -71,7 +71,7 @@ def _bench_mesh(n_devices: int, sig_size: int, W_per_shard: int,
 
 
 def cost_model(n_devices: int, W_per_shard: int, T: int,
-               num_hashes: int, B: int) -> dict:
+               num_hashes: int, B: int, term_size: int = 31) -> dict:
     """Bytes moved per query, and the predicted weak-scaling efficiency.
 
     Keys:
@@ -94,7 +94,7 @@ def cost_model(n_devices: int, W_per_shard: int, T: int,
         # instead of row indices: ~(T + k - 1) bytes per query,
         # num_hashes- and page-count-independent (sharded.py
         # score_sharded_from_queries)
-        "broadcast_bytes_per_query_device_hash": T + 30,
+        "broadcast_bytes_per_query_device_hash": T + term_size - 1,
         "cpu_proxy": cpu_proxy,
         "predicted_efficiency":
             min(1.0, phys / n_devices) if cpu_proxy else 1.0,

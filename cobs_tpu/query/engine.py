@@ -34,6 +34,7 @@ per-query loop.
 
 import dataclasses
 import functools
+import os
 from pathlib import Path
 
 import numpy as np
@@ -468,7 +469,11 @@ def _gather_count_planes(matrix: jax.Array, rows_idx: jax.Array,
     """
     B, T, h, P = rows_idx.shape
     W = matrix.shape[1]
-    budget_terms = _GATHER_BYTES_BUDGET // max(B * h * P * W * 4, 1)
+    # budget the term chunk PER QUERY (Bs can always shrink to 1):
+    # clamping tc by the full-B budget would push wide-row shapes to
+    # 128-term chunks — off the measured 250-500 plateau — even though
+    # batch tiling is about to bound the materialized block anyway
+    budget_terms = _GATHER_BYTES_BUDGET // max(h * P * W * 4, 1)
     tc = _plan_chunks(T, h, budget_terms)
     pad = (-T) % tc if tc else 0
     if pad:
@@ -690,9 +695,14 @@ def _device_hash_args(index: DeviceIndex, qb: QueryBytes):
         raise ValueError("index too large for int32 row addressing")
     qbytes, lens, T_max = _pack_query_bytes(qb.queries,
                                             index.term_size)
-    if index.canonicalize == 1:
+    if index.canonicalize == 1 and os.environ.get(
+            "COBS_TPU_PACK_QUERIES", "1") != "0":
         # validated ACGT packs 2 bits/base: another 4x off the upload
-        # (text mode hashes arbitrary bytes, so it ships them raw)
+        # (text mode hashes arbitrary bytes, so it ships them raw).
+        # Measured neutral on the co-located/tunneled link (the plateau
+        # there is dispatch+fetch, BASELINE r3); COBS_TPU_PACK_QUERIES=0
+        # ships raw bytes while keeping device hashing, for links where
+        # the pack/decode cost matters more than upload width.
         from cobs_tpu.ops.device_hash import pack_queries_2bit
         packed_len = qbytes.shape[1]
         qbytes = pack_queries_2bit(qbytes)

@@ -118,13 +118,14 @@ def test_batch_tiled_gather_matches_untiled(rng, monkeypatch):
     matrix = jnp.asarray(np.concatenate([
         rng.integers(0, 1 << 32, size=(sig, W), dtype=np.uint32),
         np.zeros((1, W), np.uint32)], axis=0))
-    for B, T in [(6, 517), (5, 517), (4, 60), (1, 300)]:
+    # (6, 517)/(5, 517): chunked plan, Bs=1 under the tiny bound
+    # (prime 5 exercises the indivisible case); (4, 120): single-shot
+    # plan (T < _CSA_CHUNK) tiled to Bs=2; (1, 300): B=1, untileable
+    for B, T in [(6, 517), (5, 517), (4, 120), (1, 300)]:
         rows_idx = rng.integers(
             0, sig, size=(B, T, h, 1)).astype(np.int32)
         want = np.asarray(eng._gather_and_count(
             matrix, jnp.asarray(rows_idx), h))
-        # a budget of one 2-query x CSA-chunk block forces Bs < B
-        # whenever B > 2 (B=5: prime -> Bs=1; B=1: no tiling possible)
         monkeypatch.setattr(eng, "_FUSED_CHUNK_BYTES",
                             2 * eng._CSA_CHUNK * h * W * 4)
         tiled = eng._gather_and_count.__wrapped__
