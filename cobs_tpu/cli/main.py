@@ -338,6 +338,77 @@ def cmd_query(argv):
     return 0
 
 
+def cmd_serve(argv):
+    """Resident batching query server (TPU addition: the reference's
+    query loop is one-shot per process, src/cobs.cpp:471-527; a serving
+    deployment keeps the index in HBM and coalesces client queries into
+    device batches — see cobs_tpu/query/server.py)."""
+    p = argparse.ArgumentParser(prog="cobs serve")
+    p.add_argument("-i", "--index", action="append", default=[],
+                   help="path to index file(s)")
+    p.add_argument("--socket", default="", metavar="PATH",
+                   help="serve on a Unix domain socket at PATH")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=7687,
+                   help="TCP port (used when --socket is not given), "
+                        "default: 7687")
+    p.add_argument("-t", "--threshold", type=float, default=0.8,
+                   help="server score floor, default: 0.8; requests "
+                        "may only raise it")
+    p.add_argument("-l", "--limit", type=int, default=0,
+                   help="top-k serving mode: cap results per query "
+                        "on device, default: 0 = full ranking")
+    p.add_argument("-b", "--batch", type=int, default=64,
+                   help="max queries coalesced per device batch")
+    p.add_argument("--linger-ms", type=float, default=2.0,
+                   help="batching window after the first query of a "
+                        "batch arrives, default: 2 ms")
+    p.add_argument("--load-complete", action="store_true",
+                   help="force the whole index into device HBM")
+    p.add_argument("--streamed", action="store_true",
+                   help="force the host-mmap backend")
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="shard the index over the first N devices")
+    _add_threads_flag(p)
+    args = p.parse_args(argv)
+    _apply_threads(args)
+    if not args.index:
+        print("Pass at least one -i index.", file=sys.stderr)
+        return -1
+    if args.load_complete:
+        from cobs_tpu.settings import settings
+        settings.load_complete_index = True
+
+    import cobs_tpu
+    from cobs_tpu.query.server import QueryServer
+    mesh = None
+    if args.mesh:
+        import jax
+
+        from cobs_tpu.parallel.sharded import make_mesh
+        mesh = make_mesh(n_batch=1, n_docs=args.mesh,
+                         devices=jax.devices()[:args.mesh])
+    s = cobs_tpu.Search(args.index, mesh=mesh,
+                        streamed=True if args.streamed else None)
+    server = QueryServer(
+        s, unix_path=args.socket or None, host=args.host,
+        port=args.port, batch_size=args.batch,
+        linger_ms=args.linger_ms, threshold=args.threshold,
+        num_results=args.limit)
+    addr = server.address
+    addr = addr if isinstance(addr, str) else f"{addr[0]}:{addr[1]}"
+    print(f"SERVING {addr} floor_t={args.threshold} "
+          f"limit={args.limit} batch={args.batch} "
+          f"linger_ms={args.linger_ms}", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.close()
+    return 0
+
+
 # ------------------------------------------------------------------- misc
 
 def cmd_print_parameters(argv):
@@ -633,6 +704,7 @@ SUBTOOLS = {
                                   "combine classic indices into a compact "
                                   "index"),
     "query": (cmd_query, "query an index"),
+    "serve": (cmd_serve, "run a resident batching query server"),
     "print-parameters": (cmd_print_parameters,
                          "print index parameters for a given configuration"),
     "print-kmers": (cmd_print_kmers,

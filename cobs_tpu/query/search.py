@@ -145,6 +145,22 @@ class ResultList:
     def __repr__(self):
         return repr(list(self))
 
+    def cut(self, min_score=None, limit=None) -> "ResultList":
+        """Prefix-refine an already-ranked list (O(log n)).
+
+        Scores are sorted descending with exact reference tie order, so
+        both a HIGHER score floor and a SMALLER result cap are prefix
+        cuts — the serving front-end ranks each batch once at the
+        server's floor and refines per request (query/server.py).
+        """
+        n = len(self._gidx)
+        if min_score is not None and n:
+            n = int(np.searchsorted(-self._scores.astype(np.int64),
+                                    -int(min_score), side="right"))
+        if limit is not None:
+            n = min(n, int(limit))
+        return ResultList(self._names, self._gidx[:n], self._scores[:n])
+
 
 class Search:
     """Query one or more device-resident indices.
@@ -365,6 +381,54 @@ class Search:
         self.timer_.stop()
         return out
 
+    def _dispatch_async(self, hashed, num_results):
+        """Dispatch one pre-hashed batch without fetching: device work
+        is enqueued ahead (HBM-resident backends) or handed to a host
+        worker (streamed backends). Device fetches must stay on the
+        thread that calls `.fetch()` — a second thread doing device
+        transfers concurrently with dispatches wedged the remote-tunnel
+        runtime."""
+        from cobs_tpu.query.engine import score_topk_async
+
+        if num_results > 0:
+            return [ix.score_topk_async(hashed[k], num_results,
+                                        self.timer_)
+                    if isinstance(ix, StreamedIndex)
+                    else score_topk_async(ix, hashed[k],
+                                          num_results, self.timer_)
+                    for k, ix in enumerate(self.index_files)]
+        return [ix.score_batch_async(hashed[k], self.timer_)
+                if isinstance(ix, StreamedIndex)
+                else score_batch_async(ix, hashed[k], self.timer_)
+                for k, ix in enumerate(self.index_files)]
+
+    def _finish_batch(self, qbytes, errors, pending, threshold,
+                      num_results, total_docs):
+        """Fetch + rank one dispatched batch (pairs `_dispatch_async`).
+
+        Returns one ResultList (or QueryError) per query, reference
+        ordering (score desc, doc asc)."""
+        self.timer_.active("add rows")
+        fetched = [p.fetch() for p in pending]
+        self.timer_.active("sort results")
+        out = []
+        for b in range(len(qbytes)):
+            if errors[b] is not None:
+                out.append(QueryError(qbytes[b], errors[b]))
+                continue
+            thr = [math.ceil(threshold *
+                             (len(qbytes[b]) - ix.term_size + 1))
+                   for ix in self.index_files]
+            if num_results > 0:
+                out.append(self._rank_sparse(
+                    [(v[b], d[b]) for v, d in fetched], thr,
+                    num_results))
+            else:
+                out.append(self._rank(
+                    [s[b] for s in fetched], thr, total_docs))
+        self.timer_.stop()
+        return out
+
     def search_stream(self, queries, threshold: float = 0.0,
                       num_results: int = 0, batch_size: int = 64):
         """Stream ranked results for an iterable of queries.
@@ -390,8 +454,6 @@ class Search:
         import concurrent.futures
         import itertools
 
-        from cobs_tpu.query.engine import score_topk_async
-
         it = iter(queries)
         pipelined = self._sharded is None
         DEPTH = 2   # bounded: unbounded async enqueue poisons
@@ -410,43 +472,10 @@ class Search:
             hashed, errors = self._hash_batch_lenient(qbytes, t)
             return qbytes, hashed, errors, t
 
-        def dispatch(hashed):
-            # dispatch ahead; device fetches stay on the main thread —
-            # a second thread doing device transfers concurrently with
-            # dispatches wedged the remote-tunnel runtime
-            if num_results > 0:
-                return [ix.score_topk_async(hashed[k], num_results,
-                                            self.timer_)
-                        if isinstance(ix, StreamedIndex)
-                        else score_topk_async(ix, hashed[k],
-                                              num_results, self.timer_)
-                        for k, ix in enumerate(self.index_files)]
-            return [ix.score_batch_async(hashed[k], self.timer_)
-                    if isinstance(ix, StreamedIndex)
-                    else score_batch_async(ix, hashed[k], self.timer_)
-                    for k, ix in enumerate(self.index_files)]
-
         def finish(qbytes, errors, pending):
-            self.timer_.active("add rows")
-            fetched = [p.fetch() for p in pending]
-            self.timer_.active("sort results")
-            out = []
-            for b in range(len(qbytes)):
-                if errors[b] is not None:
-                    out.append(QueryError(qbytes[b], errors[b]))
-                    continue
-                thr = [math.ceil(threshold *
-                                 (len(qbytes[b]) - ix.term_size + 1))
-                       for ix in self.index_files]
-                if num_results > 0:
-                    out.append(self._rank_sparse(
-                        [(v[b], d[b]) for v, d in fetched], thr,
-                        num_results))
-                else:
-                    out.append(self._rank(
-                        [s[b] for s in fetched], thr, total_docs))
-            self.timer_.stop()
-            return out
+            return self._finish_batch(qbytes, errors, pending,
+                                      threshold, num_results,
+                                      total_docs)
 
         inflight = collections.deque()
         with concurrent.futures.ThreadPoolExecutor(1) as pool:
@@ -459,7 +488,8 @@ class Search:
                 pending = pool.submit(hash_next)
                 if pipelined:
                     inflight.append((qbytes, errors,
-                                     dispatch(hashed)))
+                                     self._dispatch_async(hashed,
+                                                          num_results)))
                     if len(inflight) > DEPTH:
                         yield from finish(*inflight.popleft())
                 else:

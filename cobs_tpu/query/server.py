@@ -1,0 +1,397 @@
+"""Production serving front-end: a dynamic-batching query server.
+
+The reference is a one-shot CLI — its query loop lives and dies inside
+a single process invocation (reference: src/cobs.cpp:471-527).
+Production TPU serving wants the opposite: a resident process that
+keeps the index in device HBM, coalesces concurrent client queries
+into device-sized batches (batch size is the measured serving lever —
+see BASELINE.md round-3 sweep), and keeps a bounded window of batches
+in flight so ranking batch k overlaps scoring batch k+1.
+
+`QueryServer` provides that over a newline-delimited JSON protocol on
+a Unix domain socket or TCP:
+
+  request : {"query": "ACGT...", "id": <any>, "threshold": <float>,
+             "num_results": <int>}            (id/threshold/limit optional)
+  response: {"id": ..., "results": [[doc_name, score], ...]}
+          | {"id": ..., "error": "message"}
+  control : {"cmd": "ping"}  -> {"ok": true}
+            {"cmd": "stats"} -> {"queries": N, "batches": N, ...}
+
+Batching: requests arriving within `linger_ms` of the first one
+coalesce into a batch of up to `batch_size` queries. The scorer ranks
+every batch once at the server's configured floor (threshold
+`t_floor`, result cap `limit`); a request may RAISE the threshold or
+LOWER the cap — both are prefix cuts on the (score desc, doc asc)-
+sorted list (`ResultList.cut`), bit-exact by construction. Requests
+below the floor are rejected up front: the floor is the contract that
+lets every query in a batch share one device program.
+
+Backpressure and isolation: each connection gets a reader thread and
+a bounded outbound queue drained by a writer thread, so one slow
+client stalls only itself, never the scorer. An invalid query yields
+an error response in its own slot; the rest of its batch scores
+normally (`Search._hash_batch_lenient`).
+"""
+
+import collections
+import json
+import math
+import os
+import queue
+import socket
+import threading
+import time
+
+from cobs_tpu.query.search import QueryError, Search
+from cobs_tpu.utils.timer import Timer
+
+_STOP = object()
+
+
+class _Conn:
+    """One client connection: bounded outbound queue + writer thread.
+
+    The scorer never blocks on a client socket: `send` enqueues, and a
+    full queue (slow reader) drops the response and counts it.
+    """
+
+    SEND_QUEUE = 1024
+
+    def __init__(self, sock, server):
+        self.sock = sock
+        self.server = server
+        self.alive = True
+        self._outq = queue.Queue(self.SEND_QUEUE)
+        self._writer = threading.Thread(target=self._write_loop,
+                                        daemon=True)
+        self._writer.start()
+
+    def send(self, obj) -> None:
+        if not self.alive:
+            return
+        try:
+            self._outq.put_nowait(json.dumps(obj) + "\n")
+        except queue.Full:
+            self.server._count("dropped_responses")
+
+    def _write_loop(self):
+        while True:
+            line = self._outq.get()
+            if line is _STOP:
+                break
+            if not self.alive:
+                continue  # drain without sending; producers never block
+            try:
+                self.sock.sendall(line.encode())
+            except OSError:
+                self.alive = False
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+    def close(self):
+        self.alive = False
+        try:
+            self.sock.shutdown(socket.SHUT_RD)
+        except OSError:
+            pass
+        self._outq.put(_STOP)
+
+
+class QueryServer:
+    """Serve one or more indices over a socket with dynamic batching.
+
+    Parameters
+    ----------
+    search : Search | index path(s)
+        An open `Search` (any backend: device, streamed, mesh-sharded)
+        or anything its constructor accepts.
+    unix_path : str | None
+        Serve on a Unix domain socket at this path...
+    host, port : TCP endpoint used when `unix_path` is None. port=0
+        picks a free port (see `.address`).
+    batch_size : max queries coalesced into one device batch.
+    linger_ms : how long the batcher waits for stragglers after the
+        first query of a batch arrives. 0 = score singletons
+        immediately (lowest latency, lowest throughput).
+    threshold : the server's score floor (reference default 0.8);
+        per-request thresholds must be >= this.
+    num_results : 0 = full ranking; k > 0 = device top-k serving mode
+        (per-request caps must be <= k).
+    depth : dispatched-ahead batch window (bounded: unbounded async
+        enqueue poisons tunneled devices — see engine.PendingScores).
+    """
+
+    def __init__(self, search, *, unix_path=None, host="127.0.0.1",
+                 port=0, batch_size=64, linger_ms=2.0, threshold=0.8,
+                 num_results=0, depth=2):
+        self.search = search if isinstance(search, Search) \
+            else Search(search)
+        if not (0.0 <= threshold <= 1.0):
+            raise ValueError("threshold must be in [0, 1]")
+        self.t_floor = float(threshold)
+        self.limit = int(num_results)
+        self.batch_size = int(batch_size)
+        self.linger_s = float(linger_ms) / 1e3
+        self.depth = int(depth)
+        term_sizes = {ix.term_size for ix in self.search.index_files}
+        # heterogeneous federations rank correctly at the floor, but a
+        # per-request threshold cannot be re-applied as one score cut
+        self._uniform_ts = (term_sizes.pop()
+                            if len(term_sizes) == 1 else None)
+        self._total_docs = sum(len(ix.file_names)
+                               for ix in self.search.index_files)
+
+        self.unix_path = unix_path
+        if unix_path is not None:
+            self._listener = socket.socket(socket.AF_UNIX,
+                                           socket.SOCK_STREAM)
+            if os.path.exists(unix_path):
+                os.unlink(unix_path)
+            self._listener.bind(unix_path)
+        else:
+            self._listener = socket.socket(socket.AF_INET,
+                                           socket.SOCK_STREAM)
+            self._listener.setsockopt(socket.SOL_SOCKET,
+                                      socket.SO_REUSEADDR, 1)
+            self._listener.bind((host, port))
+        self._listener.listen(64)
+
+        self._rq = queue.Queue()
+        self._conns: list[_Conn] = []
+        self._lock = threading.Lock()
+        self._stats = collections.Counter()
+        self._started = False
+        self._closed = False
+
+    # ------------------------------------------------------------ public
+
+    @property
+    def address(self):
+        """The bound endpoint: unix path or (host, port)."""
+        return self.unix_path if self.unix_path is not None \
+            else self._listener.getsockname()
+
+    def start(self) -> None:
+        """Start the accept loop and the scorer thread (non-blocking)."""
+        if self._started:
+            return
+        self._started = True
+        self._accept_thread = threading.Thread(target=self._accept_loop,
+                                               daemon=True)
+        self._scorer_thread = threading.Thread(target=self._scorer,
+                                               daemon=True)
+        self._accept_thread.start()
+        self._scorer_thread.start()
+
+    def serve_forever(self) -> None:
+        """start() and block until close() (for the CLI)."""
+        self.start()
+        self._scorer_thread.join()
+
+    def close(self) -> None:
+        """Stop accepting, flush in-flight batches, shut down."""
+        if self._closed:
+            return
+        self._closed = True
+        try:
+            self._listener.close()
+        except OSError:
+            pass
+        if self._started:
+            self._rq.put(_STOP)
+            self._scorer_thread.join(timeout=60)
+        with self._lock:
+            conns = list(self._conns)
+        for c in conns:
+            c.close()
+        if self.unix_path is not None and os.path.exists(self.unix_path):
+            os.unlink(self.unix_path)
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ----------------------------------------------------------- intake
+
+    def _count(self, key, n=1):
+        with self._lock:
+            self._stats[key] += n
+
+    def _accept_loop(self):
+        while True:
+            try:
+                sock, _ = self._listener.accept()
+            except OSError:
+                return  # listener closed
+            conn = _Conn(sock, self)
+            with self._lock:
+                self._conns.append(conn)
+            threading.Thread(target=self._read_loop, args=(conn,),
+                             daemon=True).start()
+
+    def _read_loop(self, conn):
+        f = conn.sock.makefile("rb")
+        try:
+            for line in f:
+                if not line.strip():
+                    continue
+                self._handle_line(conn, line)
+        except OSError:
+            pass
+        finally:
+            conn.alive = False
+
+    def _handle_line(self, conn, line):
+        try:
+            req = json.loads(line)
+            if not isinstance(req, dict):
+                raise ValueError("request must be a JSON object")
+        except ValueError as e:
+            self._count("bad_requests")
+            conn.send({"id": None, "error": f"bad request: {e}"})
+            return
+        rid = req.get("id")
+        cmd = req.get("cmd")
+        if cmd == "ping":
+            conn.send({"id": rid, "ok": True})
+            return
+        if cmd == "stats":
+            st = {k: 0 for k in ("queries", "batches", "query_errors",
+                                 "bad_requests", "dropped_responses")}
+            with self._lock:
+                st.update(self._stats)
+            st["id"] = rid
+            conn.send(st)
+            return
+        if cmd is not None:
+            conn.send({"id": rid, "error": f"unknown cmd {cmd!r}"})
+            return
+
+        query = req.get("query")
+        if not isinstance(query, str) or not query:
+            self._count("bad_requests")
+            conn.send({"id": rid,
+                       "error": "request needs a non-empty "
+                                "string 'query'"})
+            return
+        thr = req.get("threshold", self.t_floor)
+        lim = req.get("num_results", self.limit)
+        try:
+            thr = float(thr)
+            lim = int(lim)
+        except (TypeError, ValueError):
+            conn.send({"id": rid, "error": "threshold must be a "
+                       "number, num_results an integer"})
+            return
+        if thr < self.t_floor:
+            conn.send({"id": rid, "error":
+                       f"threshold {thr} below the server floor "
+                       f"{self.t_floor} (start the server with a "
+                       "lower -t to allow it)"})
+            return
+        if thr > self.t_floor and self._uniform_ts is None:
+            conn.send({"id": rid, "error":
+                       "per-request thresholds need indices with one "
+                       "uniform term size; this server federates "
+                       "mixed term sizes — use the floor "
+                       f"{self.t_floor}"})
+            return
+        if self.limit > 0 and (lim <= 0 or lim > self.limit):
+            conn.send({"id": rid, "error":
+                       f"num_results must be in 1..{self.limit} "
+                       "(server runs in top-k mode)"})
+            return
+        if lim < 0:
+            conn.send({"id": rid, "error": "num_results must be >= 0"})
+            return
+        self._rq.put((conn, rid, query, thr, lim))
+
+    # ----------------------------------------------------------- scorer
+
+    def _next_batch(self, block):
+        """Assemble one batch: first item per `block`, then linger.
+
+        Returns (items, stopping): items may be empty when not blocking
+        and the queue is idle; stopping=True once _STOP is seen.
+        """
+        items = []
+        try:
+            first = self._rq.get(block=block)
+        except queue.Empty:
+            return items, False
+        if first is _STOP:
+            return items, True
+        items.append(first)
+        deadline = time.monotonic() + self.linger_s
+        while len(items) < self.batch_size:
+            wait = deadline - time.monotonic()
+            try:
+                nxt = self._rq.get(block=wait > 0,
+                                   timeout=wait if wait > 0 else None)
+            except queue.Empty:
+                break
+            if nxt is _STOP:
+                return items, True
+            items.append(nxt)
+        return items, False
+
+    def _scorer(self):
+        """The serving loop: batch -> hash -> dispatch ahead -> rank.
+
+        Single-threaded device interaction (dispatch and fetch both
+        happen here) with a bounded in-flight window, mirroring
+        `Search.search_stream`; unlike the stream, an idle request
+        queue immediately drains the window instead of waiting for the
+        next batch, so sparse traffic sees latency = device time, not
+        window depth.
+        """
+        s = self.search
+        inflight = collections.deque()
+        stopping = False
+        while True:
+            items = []
+            if not stopping:
+                items, stopped = self._next_batch(block=not inflight)
+                stopping = stopped
+            if not items:
+                if inflight:
+                    self._emit(*inflight.popleft())
+                    continue
+                if stopping:
+                    return
+                continue
+            qbytes = [it[2].encode() for it in items]
+            t = Timer()
+            hashed, errors = s._hash_batch_lenient(qbytes, t)
+            s.timer_.merge(t)
+            inflight.append(
+                (items, qbytes, errors,
+                 s._dispatch_async(hashed, self.limit)))
+            self._count("batches")
+            self._count("queries", len(items))
+            while len(inflight) > self.depth:
+                self._emit(*inflight.popleft())
+
+    def _emit(self, items, qbytes, errors, pending):
+        """Fetch + rank one batch at the floor, refine per request."""
+        ranked = self.search._finish_batch(
+            qbytes, errors, pending, self.t_floor, self.limit,
+            self._total_docs)
+        for (conn, rid, query, thr, lim), res in zip(items, ranked):
+            if isinstance(res, QueryError):
+                self._count("query_errors")
+                conn.send({"id": rid, "error": res.message})
+                continue
+            if thr > self.t_floor:
+                num_terms = len(query) - self._uniform_ts + 1
+                res = res.cut(min_score=math.ceil(thr * num_terms))
+            if lim > 0:
+                res = res.cut(limit=lim)
+            conn.send({"id": rid,
+                       "results": [[r.doc_name, r.score] for r in res]})

@@ -1,0 +1,273 @@
+"""QueryServer: the dynamic-batching serving front-end.
+
+The reference has no resident server (its query loop is one-shot,
+reference: src/cobs.cpp:471-527); the serving contract tested here is
+that every protocol path returns exactly what the in-process `Search`
+returns: golden parity through the socket, per-request refinement as
+prefix cuts, per-query error isolation, concurrent clients.
+"""
+
+import json
+import shutil
+import socket
+import threading
+from pathlib import Path
+
+import pytest
+
+import cobs_tpu
+from cobs_tpu.query.server import QueryServer
+from cobs_tpu.settings import settings
+
+DATA = Path(__file__).parent / "data"
+GOLDEN_QUERY = "AGTCAACGCTAAGGCATTTCCCCCCTGCCTCCTGCCTGCTGCCAAGCCCT"
+
+
+@pytest.fixture(autouse=True)
+def _no_cache():
+    settings.disable_cache = True
+    yield
+    settings.disable_cache = False
+
+
+@pytest.fixture(scope="module")
+def index_file(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("server_idx")
+    fasta = tmp / "fasta"
+    shutil.copytree(DATA / "fasta", fasta)
+    out = tmp / "idx.cobs_classic"
+    settings.disable_cache = True
+    try:
+        cobs_tpu.classic_construct(
+            cobs_tpu.DocumentList(fasta), out,
+            index_params=cobs_tpu.ClassicIndexParameters(clobber=True))
+    finally:
+        settings.disable_cache = False
+    return out
+
+
+class Client:
+    """Line-level JSON client; requests may be pipelined."""
+
+    def __init__(self, address):
+        if isinstance(address, str):
+            self.sock = socket.socket(socket.AF_UNIX,
+                                      socket.SOCK_STREAM)
+        else:
+            self.sock = socket.socket(socket.AF_INET,
+                                      socket.SOCK_STREAM)
+        self.sock.connect(address)
+        self.sock.settimeout(60)
+        self._rfile = self.sock.makefile("rb")
+
+    def send(self, obj):
+        self.sock.sendall((json.dumps(obj) + "\n").encode())
+
+    def recv(self):
+        line = self._rfile.readline()
+        assert line, "server closed the connection"
+        return json.loads(line)
+
+    def ask(self, obj):
+        self.send(obj)
+        return self.recv()
+
+    def close(self):
+        self.sock.close()
+
+
+def expected(search, query, threshold=0.0, num_results=0):
+    return [[r.doc_name, r.score]
+            for r in search.search(query, threshold, num_results)]
+
+
+@pytest.fixture()
+def served(index_file, tmp_path):
+    """A running server at floor threshold 0 plus a direct Search."""
+    s = cobs_tpu.Search(str(index_file))
+    srv = QueryServer(s, unix_path=str(tmp_path / "cobs.sock"),
+                      threshold=0.0, linger_ms=1.0)
+    with srv:
+        yield srv, cobs_tpu.Search(str(index_file))
+
+
+def test_golden_query_through_socket(served):
+    srv, direct = served
+    c = Client(srv.address)
+    r = c.ask({"id": 7, "query": GOLDEN_QUERY})
+    assert r["id"] == 7
+    assert r["results"] == expected(direct, GOLDEN_QUERY)
+    assert r["results"][0] == ["sample1", 20]
+    c.close()
+
+
+def test_per_request_threshold_and_limit(served):
+    srv, direct = served
+    c = Client(srv.address)
+    # raising the threshold = prefix cut, exact vs direct search
+    r = c.ask({"id": 1, "query": GOLDEN_QUERY, "threshold": 0.8})
+    assert r["results"] == expected(direct, GOLDEN_QUERY, 0.8)
+    assert r["results"] == [["sample1", 20]]
+    r = c.ask({"id": 2, "query": GOLDEN_QUERY, "num_results": 3})
+    assert r["results"] == expected(direct, GOLDEN_QUERY, 0.0, 3)
+    assert len(r["results"]) == 3
+    r = c.ask({"id": 3, "query": GOLDEN_QUERY, "threshold": 0.5,
+               "num_results": 2})
+    assert r["results"] == expected(direct, GOLDEN_QUERY, 0.5, 2)
+    c.close()
+
+
+def test_pipelined_requests_one_connection(served):
+    srv, direct = served
+    c = Client(srv.address)
+    n = 10
+    for i in range(n):
+        c.send({"id": i, "query": GOLDEN_QUERY})
+    got = [c.recv() for _ in range(n)]
+    want = expected(direct, GOLDEN_QUERY)
+    for i, r in enumerate(got):
+        assert r["id"] == i
+        assert r["results"] == want
+    c.close()
+
+
+def test_concurrent_clients(served):
+    srv, direct = served
+    want = expected(direct, GOLDEN_QUERY)
+    errors = []
+
+    def worker(tag):
+        try:
+            c = Client(srv.address)
+            for i in range(8):
+                r = c.ask({"id": [tag, i], "query": GOLDEN_QUERY})
+                assert r["id"] == [tag, i]
+                assert r["results"] == want
+            c.close()
+        except Exception as e:  # surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(t,))
+               for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors
+
+
+def test_bad_query_isolated(served):
+    srv, _ = served
+    c = Client(srv.address)
+    c.send({"id": "short", "query": "ACGT"})         # too short
+    c.send({"id": "bad", "query": "NNNNOTDNA" * 8})  # non-ACGT
+    c.send({"id": "ok", "query": GOLDEN_QUERY})
+    by_id = {}
+    for _ in range(3):
+        r = c.recv()
+        by_id[r["id"]] = r
+    assert "error" in by_id["short"]
+    assert "error" in by_id["bad"]
+    assert by_id["ok"]["results"][0] == ["sample1", 20]
+    c.close()
+
+
+def test_protocol_errors_and_control(served):
+    srv, _ = served
+    c = Client(srv.address)
+    assert c.ask({"cmd": "ping", "id": 0}) == {"id": 0, "ok": True}
+    r = c.ask({"id": 1})                     # missing query
+    assert "error" in r
+    c.sock.sendall(b"this is not json\n")
+    assert "error" in c.recv()
+    r = c.ask({"id": 2, "query": GOLDEN_QUERY, "threshold": -0.5})
+    assert "below the server floor" in r["error"]
+    st = c.ask({"cmd": "stats", "id": 3})
+    assert st["queries"] == 0 and st["batches"] == 0  # none scored
+    assert st["bad_requests"] >= 2
+    c.close()
+
+
+def test_topk_serving_mode(index_file, tmp_path):
+    s = cobs_tpu.Search(str(index_file))
+    direct = cobs_tpu.Search(str(index_file))
+    srv = QueryServer(s, unix_path=str(tmp_path / "k.sock"),
+                      threshold=0.0, num_results=5, linger_ms=1.0)
+    with srv:
+        c = Client(srv.address)
+        r = c.ask({"id": 0, "query": GOLDEN_QUERY})
+        assert r["results"] == expected(direct, GOLDEN_QUERY, 0.0, 5)
+        r = c.ask({"id": 1, "query": GOLDEN_QUERY, "num_results": 2})
+        assert r["results"] == expected(direct, GOLDEN_QUERY, 0.0, 2)
+        # the device cap is the ceiling in top-k mode
+        r = c.ask({"id": 2, "query": GOLDEN_QUERY, "num_results": 99})
+        assert "error" in r
+        c.close()
+
+
+def test_tcp_endpoint_and_batching(index_file):
+    s = cobs_tpu.Search(str(index_file))
+    direct = cobs_tpu.Search(str(index_file))
+    srv = QueryServer(s, port=0, threshold=0.0, batch_size=8,
+                      linger_ms=20.0)
+    with srv:
+        host, port = srv.address
+        c = Client((host, port))
+        n = 8
+        for i in range(n):
+            c.send({"id": i, "query": GOLDEN_QUERY})
+        want = expected(direct, GOLDEN_QUERY)
+        for i in range(n):
+            r = c.recv()
+            assert r["id"] == i and r["results"] == want
+        st = c.ask({"cmd": "stats"})
+        # the linger window must coalesce pipelined requests
+        assert st["batches"] < st["queries"]
+        c.close()
+
+
+def test_cli_serve_subprocess(index_file, tmp_path):
+    """`cobs serve` end-to-end: spawn the CLI, query over the socket."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    sock = tmp_path / "cli.sock"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "cobs_tpu.cli.main", "serve",
+         "-i", str(index_file), "--socket", str(sock),
+         "-t", "0", "--linger-ms", "1"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env)
+    try:
+        deadline = time.monotonic() + 120
+        while not sock.exists():
+            assert proc.poll() is None, "serve exited early"
+            assert time.monotonic() < deadline, "socket never appeared"
+            time.sleep(0.1)
+        c = Client(str(sock))
+        r = c.ask({"id": 0, "query": GOLDEN_QUERY, "threshold": 0.8})
+        assert r["results"] == [["sample1", 20]]
+        c.close()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+
+
+def test_server_on_compact_and_federation(tmp_path):
+    fasta = tmp_path / "fasta"
+    shutil.copytree(DATA / "fasta", fasta)
+    compact = tmp_path / "idx.cobs_compact"
+    cobs_tpu.compact_construct(
+        cobs_tpu.DocumentList(fasta), compact,
+        index_params=cobs_tpu.CompactIndexParameters(clobber=True))
+    direct = cobs_tpu.Search(str(compact))
+    srv = QueryServer(cobs_tpu.Search(str(compact)),
+                      unix_path=str(tmp_path / "c.sock"),
+                      threshold=0.0, linger_ms=1.0)
+    with srv:
+        c = Client(srv.address)
+        r = c.ask({"id": 0, "query": GOLDEN_QUERY, "threshold": 0.8})
+        assert r["results"] == expected(direct, GOLDEN_QUERY, 0.8)
+        c.close()
