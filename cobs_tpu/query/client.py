@@ -1,0 +1,128 @@
+"""Client for the cobs serving front-end (query/server.py).
+
+Speaks the newline-delimited JSON protocol over a Unix domain socket
+or TCP and returns the same `SearchResult` lists the in-process
+`Search.search` API returns, so code can switch between embedded and
+served search without changes:
+
+    with QueryClient("/run/cobs.sock") as c:
+        hits = c.search("ACGT...", threshold=0.9, num_results=10)
+
+`search_batch` pipelines many requests over the connection — on the
+server side consecutive requests coalesce into one device batch, so a
+pipelined client sees near-`search_batch` throughput through the
+socket. Thread-safe: a lock serializes writes, responses are matched
+to requests by id.
+"""
+
+import itertools
+import json
+import socket
+import threading
+
+from cobs_tpu.query.search import QueryError, SearchResult
+
+
+class ServerError(RuntimeError):
+    """The server rejected a request (protocol/parameter error)."""
+
+
+class QueryClient:
+    """Connect to a `QueryServer` at a Unix-socket path or (host, port)."""
+
+    def __init__(self, address, timeout=300.0):
+        if isinstance(address, str):
+            self._sock = socket.socket(socket.AF_UNIX,
+                                       socket.SOCK_STREAM)
+        else:
+            self._sock = socket.socket(socket.AF_INET,
+                                       socket.SOCK_STREAM)
+            address = tuple(address)
+        self._sock.settimeout(timeout)
+        self._sock.connect(address)
+        self._rfile = self._sock.makefile("rb")
+        self._wlock = threading.Lock()
+        self._ids = itertools.count()
+
+    # ------------------------------------------------------------ core
+
+    def _send(self, obj) -> None:
+        data = (json.dumps(obj) + "\n").encode()
+        with self._wlock:
+            self._sock.sendall(data)
+
+    def _recv(self) -> dict:
+        line = self._rfile.readline()
+        if not line:
+            raise ConnectionError("server closed the connection")
+        return json.loads(line)
+
+    @staticmethod
+    def _to_results(resp, query, strict):
+        if "error" in resp:
+            if strict:
+                raise ServerError(resp["error"])
+            return QueryError(query, resp["error"])
+        return [SearchResult(name, score)
+                for name, score in resp["results"]]
+
+    # ------------------------------------------------------------- api
+
+    def search(self, query: str, threshold: float | None = None,
+               num_results: int | None = None) -> list[SearchResult]:
+        """One query; raises ServerError if the server rejects it.
+
+        threshold/num_results omitted = the server's configured
+        defaults (requests may only raise the threshold / lower the
+        cap — the server ranks each batch once at its floor).
+        """
+        return self.search_batch([query], threshold, num_results,
+                                 strict=True)[0]
+
+    def search_batch(self, queries, threshold=None, num_results=None,
+                     strict: bool = False) -> list:
+        """Pipeline many queries; results return in query order.
+
+        strict=False mirrors `Search.search_stream`: a rejected query
+        yields a `QueryError` in its slot instead of raising.
+        """
+        req = {}
+        if threshold is not None:
+            req["threshold"] = threshold
+        if num_results is not None:
+            req["num_results"] = num_results
+        ids = []
+        for q in queries:
+            rid = next(self._ids)
+            self._send({"id": rid, "query": q, **req})
+            ids.append(rid)
+        by_id = {}
+        for _ in ids:
+            resp = self._recv()
+            by_id[resp["id"]] = resp
+        return [self._to_results(by_id[rid], q, strict)
+                for rid, q in zip(ids, queries)]
+
+    def ping(self) -> bool:
+        rid = next(self._ids)
+        self._send({"cmd": "ping", "id": rid})
+        resp = self._recv()
+        return resp.get("id") == rid and resp.get("ok") is True
+
+    def stats(self) -> dict:
+        self._send({"cmd": "stats", "id": next(self._ids)})
+        resp = self._recv()
+        resp.pop("id", None)
+        return resp
+
+    def close(self) -> None:
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

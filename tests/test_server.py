@@ -255,6 +255,26 @@ def test_cli_serve_subprocess(index_file, tmp_path):
         proc.wait(timeout=30)
 
 
+def test_query_client(served):
+    from cobs_tpu.query.client import (QueryClient, ServerError)
+    from cobs_tpu.query.search import QueryError
+    srv, direct = served
+    with QueryClient(srv.address) as c:
+        assert c.ping()
+        hits = c.search(GOLDEN_QUERY, threshold=0.8)
+        assert [(r.doc_name, r.score) for r in hits] == [("sample1", 20)]
+        # drop-in parity with the embedded API
+        assert hits == direct.search(GOLDEN_QUERY, 0.8)
+        batch = c.search_batch([GOLDEN_QUERY, "ACGT", GOLDEN_QUERY],
+                               num_results=2)
+        assert batch[0] == direct.search(GOLDEN_QUERY, 0.0, 2)
+        assert isinstance(batch[1], QueryError)
+        assert batch[2] == batch[0]
+        with pytest.raises(ServerError):
+            c.search("ACGT")
+        assert c.stats()["queries"] >= 4
+
+
 def test_server_on_compact_and_federation(tmp_path):
     fasta = tmp_path / "fasta"
     shutil.copytree(DATA / "fasta", fasta)
