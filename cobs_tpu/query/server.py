@@ -370,19 +370,32 @@ class QueryServer:
             t = Timer()
             hashed, errors = s._hash_batch_lenient(qbytes, t)
             s.timer_.merge(t)
+            self._count("batches")
+            self._count("queries", len(items))
+            if s._sharded is not None:
+                # mesh-sharded scoring is synchronous (as in
+                # search_stream): the shard_map program has no
+                # dispatch-ahead handle yet
+                ranked = s._score_ranked(qbytes, hashed, self.t_floor,
+                                         self.limit)
+                for b in range(len(qbytes)):
+                    if errors[b] is not None:
+                        ranked[b] = QueryError(qbytes[b], errors[b])
+                self._emit_ranked(items, ranked)
+                continue
             inflight.append(
                 (items, qbytes, errors,
                  s._dispatch_async(hashed, self.limit)))
-            self._count("batches")
-            self._count("queries", len(items))
             while len(inflight) > self.depth:
                 self._emit(*inflight.popleft())
 
     def _emit(self, items, qbytes, errors, pending):
         """Fetch + rank one batch at the floor, refine per request."""
-        ranked = self.search._finish_batch(
+        self._emit_ranked(items, self.search._finish_batch(
             qbytes, errors, pending, self.t_floor, self.limit,
-            self._total_docs)
+            self._total_docs))
+
+    def _emit_ranked(self, items, ranked):
         for (conn, rid, query, thr, lim), res in zip(items, ranked):
             if isinstance(res, QueryError):
                 self._count("query_errors")

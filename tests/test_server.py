@@ -275,6 +275,38 @@ def test_query_client(served):
         assert c.stats()["queries"] >= 4
 
 
+def test_server_streamed_backend(index_file, tmp_path):
+    """The server over the host-mmap (bigger-than-HBM) backend."""
+    s = cobs_tpu.Search(str(index_file), streamed=True)
+    direct = cobs_tpu.Search(str(index_file))
+    srv = QueryServer(s, unix_path=str(tmp_path / "st.sock"),
+                      threshold=0.0, linger_ms=1.0)
+    with srv:
+        c = Client(srv.address)
+        r = c.ask({"id": 0, "query": GOLDEN_QUERY})
+        assert r["results"] == expected(direct, GOLDEN_QUERY)
+        c.close()
+
+
+def test_server_mesh_sharded(index_file, tmp_path):
+    """The server over a mesh-sharded Search (synchronous scoring)."""
+    import jax
+
+    from cobs_tpu.parallel.sharded import make_mesh
+    mesh = make_mesh(n_batch=1, n_docs=4, devices=jax.devices()[:4])
+    s = cobs_tpu.Search(str(index_file), mesh=mesh)
+    direct = cobs_tpu.Search(str(index_file))
+    srv = QueryServer(s, unix_path=str(tmp_path / "m.sock"),
+                      threshold=0.0, linger_ms=1.0)
+    with srv:
+        c = Client(srv.address)
+        for i in range(3):
+            r = c.ask({"id": i, "query": GOLDEN_QUERY,
+                       "threshold": 0.8})
+            assert r["results"] == expected(direct, GOLDEN_QUERY, 0.8)
+        c.close()
+
+
 def test_server_on_compact_and_federation(tmp_path):
     fasta = tmp_path / "fasta"
     shutil.copytree(DATA / "fasta", fasta)
