@@ -11,8 +11,10 @@ served search without changes:
 `search_batch` pipelines many requests over the connection — on the
 server side consecutive requests coalesce into one device batch, so a
 pipelined client sees near-`search_batch` throughput through the
-socket. Thread-safe: a lock serializes writes, responses are matched
-to requests by id.
+socket. Thread-safe in the serialized sense: a lock makes each call
+atomic on the shared connection; for concurrent in-flight calls use
+one client per thread (connections are cheap, and the server batches
+across them).
 """
 
 import itertools
@@ -41,15 +43,14 @@ class QueryClient:
         self._sock.settimeout(timeout)
         self._sock.connect(address)
         self._rfile = self._sock.makefile("rb")
-        self._wlock = threading.Lock()
+        self._lock = threading.RLock()  # one request/response cycle
+        # at a time: responses come back on the one shared socket
         self._ids = itertools.count()
 
     # ------------------------------------------------------------ core
 
     def _send(self, obj) -> None:
-        data = (json.dumps(obj) + "\n").encode()
-        with self._wlock:
-            self._sock.sendall(data)
+        self._sock.sendall((json.dumps(obj) + "\n").encode())
 
     def _recv(self) -> dict:
         line = self._rfile.readline()
@@ -86,37 +87,44 @@ class QueryClient:
         strict=False mirrors `Search.search_stream`: a rejected query
         yields a `QueryError` in its slot instead of raising.
         """
+        queries = list(queries)  # may be a generator; read it once
         req = {}
         if threshold is not None:
             req["threshold"] = threshold
         if num_results is not None:
             req["num_results"] = num_results
-        ids = []
-        for q in queries:
-            rid = next(self._ids)
-            self._send({"id": rid, "query": q, **req})
-            ids.append(rid)
-        by_id = {}
-        for _ in ids:
-            resp = self._recv()
-            by_id[resp["id"]] = resp
+        with self._lock:
+            ids = []
+            for q in queries:
+                rid = next(self._ids)
+                self._send({"id": rid, "query": q, **req})
+                ids.append(rid)
+            by_id = {}
+            for _ in ids:
+                resp = self._recv()
+                by_id[resp["id"]] = resp
         return [self._to_results(by_id[rid], q, strict)
                 for rid, q in zip(ids, queries)]
 
     def ping(self) -> bool:
-        rid = next(self._ids)
-        self._send({"cmd": "ping", "id": rid})
-        resp = self._recv()
+        with self._lock:
+            rid = next(self._ids)
+            self._send({"cmd": "ping", "id": rid})
+            resp = self._recv()
         return resp.get("id") == rid and resp.get("ok") is True
 
     def stats(self) -> dict:
-        self._send({"cmd": "stats", "id": next(self._ids)})
-        resp = self._recv()
+        with self._lock:
+            self._send({"cmd": "stats", "id": next(self._ids)})
+            resp = self._recv()
         resp.pop("id", None)
         return resp
 
     def close(self) -> None:
         try:
+            # the makefile wrapper holds its own reference to the fd;
+            # closing only the socket would leave the connection open
+            self._rfile.close()
             self._sock.close()
         except OSError:
             pass

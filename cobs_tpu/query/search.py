@@ -145,6 +145,14 @@ class ResultList:
     def __repr__(self):
         return repr(list(self))
 
+    def pairs(self) -> list:
+        """[[doc_name, score], ...] without per-doc SearchResult
+        construction (the serving JSON shape; CLAUDE.md: eager per-doc
+        objects once cost 73% of serving wall time)."""
+        names = self._names
+        return [[names[g], s] for g, s in
+                zip(self._gidx.tolist(), self._scores.tolist())]
+
     def cut(self, min_score=None, limit=None) -> "ResultList":
         """Prefix-refine an already-ranked list (O(log n)).
 
@@ -207,8 +215,6 @@ class Search:
         query-bytes broadcast also shrinks the interconnect traffic
         4x+). Streamed (host-scored) backends need host-side row ids,
         and the sequence-parallel split still hashes on the host."""
-        from cobs_tpu.settings import settings
-
         if str(settings.device_hash).lower() not in (
                 "auto", "device", "1", "true"):
             return False

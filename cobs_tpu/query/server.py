@@ -52,8 +52,13 @@ _STOP = object()
 class _Conn:
     """One client connection: bounded outbound queue + writer thread.
 
-    The scorer never blocks on a client socket: `send` enqueues, and a
-    full queue (slow reader) drops the response and counts it.
+    The scorer never blocks on a client socket: `send` enqueues raw
+    objects (JSON serialization happens on the writer thread, off the
+    scorer), and a full queue — a client that pipelines faster than it
+    reads — closes that connection rather than silently dropping
+    individual responses: the protocol is one response per request,
+    so a gap would desync the client forever, while a closed socket
+    is an observable error.
     """
 
     SEND_QUEUE = 1024
@@ -71,19 +76,20 @@ class _Conn:
         if not self.alive:
             return
         try:
-            self._outq.put_nowait(json.dumps(obj) + "\n")
+            self._outq.put_nowait(obj)
         except queue.Full:
-            self.server._count("dropped_responses")
+            self.server._count("overflowed_connections")
+            self.close()
 
     def _write_loop(self):
         while True:
-            line = self._outq.get()
-            if line is _STOP:
+            obj = self._outq.get()
+            if obj is _STOP:
                 break
             if not self.alive:
                 continue  # drain without sending; producers never block
             try:
-                self.sock.sendall(line.encode())
+                self.sock.sendall((json.dumps(obj) + "\n").encode())
             except OSError:
                 self.alive = False
         try:
@@ -93,11 +99,21 @@ class _Conn:
 
     def close(self):
         self.alive = False
+        # full shutdown unblocks a writer stuck in sendall() to a
+        # stalled client, so close() can never hang behind it
         try:
-            self.sock.shutdown(socket.SHUT_RD)
+            self.sock.shutdown(socket.SHUT_RDWR)
         except OSError:
             pass
-        self._outq.put(_STOP)
+        while True:
+            try:
+                self._outq.put_nowait(_STOP)
+                return
+            except queue.Full:
+                try:
+                    self._outq.get_nowait()
+                except queue.Empty:
+                    pass
 
 
 class QueryServer:
@@ -129,6 +145,8 @@ class QueryServer:
                  num_results=0, depth=2):
         self.search = search if isinstance(search, Search) \
             else Search(search)
+        if not self.search.index_files:
+            raise ValueError("QueryServer needs at least one index")
         if not (0.0 <= threshold <= 1.0):
             raise ValueError("threshold must be in [0, 1]")
         self.t_floor = float(threshold)
@@ -235,17 +253,33 @@ class QueryServer:
             threading.Thread(target=self._read_loop, args=(conn,),
                              daemon=True).start()
 
+    MAX_LINE = 64 << 20  # a 100k-term query is ~100 KB; 64 MB is ample
+
     def _read_loop(self, conn):
         f = conn.sock.makefile("rb")
         try:
-            for line in f:
+            while True:
+                line = f.readline(self.MAX_LINE + 1)
+                if not line:
+                    break
+                if len(line) > self.MAX_LINE:
+                    conn.send({"id": None,
+                               "error": "request line too long"})
+                    break
                 if not line.strip():
                     continue
                 self._handle_line(conn, line)
         except OSError:
             pass
         finally:
-            conn.alive = False
+            # a finished client must not leak its fd, writer thread,
+            # or _conns entry across a long-running server's lifetime
+            conn.close()
+            with self._lock:
+                try:
+                    self._conns.remove(conn)
+                except ValueError:
+                    pass
 
     def _handle_line(self, conn, line):
         try:
@@ -263,7 +297,8 @@ class QueryServer:
             return
         if cmd == "stats":
             st = {k: 0 for k in ("queries", "batches", "query_errors",
-                                 "bad_requests", "dropped_responses")}
+                                 "bad_requests", "batch_failures",
+                                 "overflowed_connections")}
             with self._lock:
                 st.update(self._stats)
             st["id"] = rid
@@ -361,50 +396,69 @@ class QueryServer:
                 stopping = stopped
             if not items:
                 if inflight:
-                    self._emit(*inflight.popleft())
+                    self._emit_safe(inflight.popleft())
                     continue
                 if stopping:
                     return
                 continue
             qbytes = [it[2].encode() for it in items]
-            t = Timer()
-            hashed, errors = s._hash_batch_lenient(qbytes, t)
-            s.timer_.merge(t)
-            self._count("batches")
-            self._count("queries", len(items))
-            if s._sharded is not None:
-                # mesh-sharded scoring is synchronous (as in
-                # search_stream): the shard_map program has no
-                # dispatch-ahead handle yet
-                ranked = s._score_ranked(qbytes, hashed, self.t_floor,
-                                         self.limit)
-                for b in range(len(qbytes)):
-                    if errors[b] is not None:
-                        ranked[b] = QueryError(qbytes[b], errors[b])
-                self._emit_ranked(items, ranked)
+            try:
+                t = Timer()
+                hashed, errors = s._hash_batch_lenient(qbytes, t)
+                s.timer_.merge(t)
+                self._count("batches")
+                self._count("queries", len(items))
+                if s._sharded is not None:
+                    # mesh-sharded scoring is synchronous (as in
+                    # search_stream): the shard_map program has no
+                    # dispatch-ahead handle yet
+                    ranked = s._score_ranked(qbytes, hashed,
+                                             self.t_floor, self.limit)
+                    for b in range(len(qbytes)):
+                        if errors[b] is not None:
+                            ranked[b] = QueryError(qbytes[b],
+                                                   errors[b])
+                    self._emit_ranked(items, qbytes, ranked)
+                    continue
+                inflight.append(
+                    (items, qbytes, errors,
+                     s._dispatch_async(hashed, self.limit)))
+            except Exception as e:  # a resident server must survive
+                self._fail_batch(items, e)
                 continue
-            inflight.append(
-                (items, qbytes, errors,
-                 s._dispatch_async(hashed, self.limit)))
             while len(inflight) > self.depth:
-                self._emit(*inflight.popleft())
+                self._emit_safe(inflight.popleft())
+
+    def _fail_batch(self, items, exc):
+        """Answer a batch whose scoring raised; the server lives on."""
+        self._count("batch_failures")
+        for conn, rid, *_ in items:
+            conn.send({"id": rid, "error": f"internal error: {exc!r}"})
+
+    def _emit_safe(self, entry):
+        try:
+            self._emit(*entry)
+        except Exception as e:
+            self._fail_batch(entry[0], e)
 
     def _emit(self, items, qbytes, errors, pending):
         """Fetch + rank one batch at the floor, refine per request."""
-        self._emit_ranked(items, self.search._finish_batch(
+        self._emit_ranked(items, qbytes, self.search._finish_batch(
             qbytes, errors, pending, self.t_floor, self.limit,
             self._total_docs))
 
-    def _emit_ranked(self, items, ranked):
-        for (conn, rid, query, thr, lim), res in zip(items, ranked):
+    def _emit_ranked(self, items, qbytes, ranked):
+        for (conn, rid, _q, thr, lim), qb, res in zip(items, qbytes,
+                                                      ranked):
             if isinstance(res, QueryError):
                 self._count("query_errors")
                 conn.send({"id": rid, "error": res.message})
                 continue
             if thr > self.t_floor:
-                num_terms = len(query) - self._uniform_ts + 1
+                # term count from the scored BYTES (len(str) diverges
+                # for non-ASCII text-mode queries)
+                num_terms = len(qb) - self._uniform_ts + 1
                 res = res.cut(min_score=math.ceil(thr * num_terms))
             if lim > 0:
                 res = res.cut(limit=lim)
-            conn.send({"id": rid,
-                       "results": [[r.doc_name, r.score] for r in res]})
+            conn.send({"id": rid, "results": res.pairs()})

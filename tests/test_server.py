@@ -73,6 +73,7 @@ class Client:
         return self.recv()
 
     def close(self):
+        self._rfile.close()
         self.sock.close()
 
 
@@ -273,6 +274,68 @@ def test_query_client(served):
         with pytest.raises(ServerError):
             c.search("ACGT")
         assert c.stats()["queries"] >= 4
+
+
+def test_connection_cleanup(served):
+    """Disconnected clients must not leak fds/threads/_conns entries."""
+    import time
+
+    srv, _ = served
+    for _ in range(5):
+        c = Client(srv.address)
+        assert c.ask({"cmd": "ping"})["ok"] is True
+        c.close()
+    deadline = time.monotonic() + 10
+    while srv._conns and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert not srv._conns
+
+
+def test_scorer_survives_internal_error(served, monkeypatch):
+    """A scoring exception answers its batch and the server lives on."""
+    srv, direct = served
+    orig = srv.search._dispatch_async
+    state = {"boomed": False}
+
+    def boom(hashed, num_results):
+        if not state["boomed"]:
+            state["boomed"] = True
+            raise RuntimeError("induced failure")
+        return orig(hashed, num_results)
+
+    monkeypatch.setattr(srv.search, "_dispatch_async", boom)
+    c = Client(srv.address)
+    r = c.ask({"id": 0, "query": GOLDEN_QUERY})
+    assert "internal error" in r["error"]
+    r = c.ask({"id": 1, "query": GOLDEN_QUERY})
+    assert r["results"] == expected(direct, GOLDEN_QUERY)
+    st = c.ask({"cmd": "stats"})
+    assert st["batch_failures"] == 1
+    c.close()
+
+
+def test_shared_client_across_threads(served):
+    """One QueryClient shared by threads: calls serialize, stay correct."""
+    from cobs_tpu.query.client import QueryClient
+    srv, direct = served
+    want = direct.search(GOLDEN_QUERY, 0.8)
+    errors = []
+
+    def worker(c):
+        try:
+            for _ in range(5):
+                assert c.search(GOLDEN_QUERY, threshold=0.8) == want
+        except Exception as e:
+            errors.append(e)
+
+    with QueryClient(srv.address) as c:
+        ts = [threading.Thread(target=worker, args=(c,))
+              for _ in range(3)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+    assert not errors
 
 
 def test_server_streamed_backend(index_file, tmp_path):
