@@ -388,13 +388,16 @@ def cmd_serve(argv):
         from cobs_tpu.parallel.sharded import make_mesh
         mesh = make_mesh(n_batch=1, n_docs=args.mesh,
                          devices=jax.devices()[:args.mesh])
-    s = cobs_tpu.Search(args.index, mesh=mesh,
-                        streamed=True if args.streamed else None)
+    def factory(paths=None):
+        return cobs_tpu.Search(
+            list(paths) if paths else args.index, mesh=mesh,
+            streamed=True if args.streamed else None)
+
     server = QueryServer(
-        s, unix_path=args.socket or None, host=args.host,
+        factory(), unix_path=args.socket or None, host=args.host,
         port=args.port, batch_size=args.batch,
         linger_ms=args.linger_ms, threshold=args.threshold,
-        num_results=args.limit)
+        num_results=args.limit, search_factory=factory)
     addr = server.address
     addr = addr if isinstance(addr, str) else f"{addr[0]}:{addr[1]}"
     print(f"SERVING {addr} floor_t={args.threshold} "

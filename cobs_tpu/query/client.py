@@ -113,6 +113,23 @@ class QueryClient:
             resp = self._recv()
         return resp.get("id") == rid and resp.get("ok") is True
 
+    def reload(self, indices=None) -> dict:
+        """Ask the server to rebuild+swap its index set (zero-restart;
+        needs a server started with a search_factory, e.g. `cobs
+        serve`). Returns {"documents": N, "indices": K}; raises
+        ServerError on failure (the old index stays live)."""
+        req = {"cmd": "reload", "id": None}
+        if indices is not None:
+            req["indices"] = list(indices)
+        with self._lock:
+            req["id"] = next(self._ids)
+            self._send(req)
+            resp = self._recv()
+        if "error" in resp:
+            raise ServerError(resp["error"])
+        return {"documents": resp["documents"],
+                "indices": resp["indices"]}
+
     def stats(self) -> dict:
         with self._lock:
             self._send({"cmd": "stats", "id": next(self._ids)})

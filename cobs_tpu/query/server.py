@@ -49,6 +49,17 @@ from cobs_tpu.utils.timer import Timer
 _STOP = object()
 
 
+class _Reload:
+    """Control item: swap the index set between batches."""
+
+    __slots__ = ("conn", "rid", "paths")
+
+    def __init__(self, conn, rid, paths):
+        self.conn = conn
+        self.rid = rid
+        self.paths = paths
+
+
 class _Conn:
     """One client connection: bounded outbound queue + writer thread.
 
@@ -138,15 +149,19 @@ class QueryServer:
         (per-request caps must be <= k).
     depth : dispatched-ahead batch window (bounded: unbounded async
         enqueue poisons tunneled devices — see engine.PendingScores).
+    search_factory : callable(paths | None) -> Search, optional.
+        Enables `{"cmd": "reload"}`: rebuild the index (same paths, or
+        the request's "indices" list) and swap it in without dropping
+        the process, the sockets, or any queued request. The load runs
+        on the scorer thread between batches — serving pauses rather
+        than overlapping a large HBM upload with dispatches, which
+        wedges tunneled devices (CLAUDE.md H2D note) and would need
+        2x HBM headroom on any device.
     """
 
     def __init__(self, search, *, unix_path=None, host="127.0.0.1",
                  port=0, batch_size=64, linger_ms=2.0, threshold=0.8,
-                 num_results=0, depth=2):
-        self.search = search if isinstance(search, Search) \
-            else Search(search)
-        if not self.search.index_files:
-            raise ValueError("QueryServer needs at least one index")
+                 num_results=0, depth=2, search_factory=None):
         if not (0.0 <= threshold <= 1.0):
             raise ValueError("threshold must be in [0, 1]")
         self.t_floor = float(threshold)
@@ -154,13 +169,9 @@ class QueryServer:
         self.batch_size = int(batch_size)
         self.linger_s = float(linger_ms) / 1e3
         self.depth = int(depth)
-        term_sizes = {ix.term_size for ix in self.search.index_files}
-        # heterogeneous federations rank correctly at the floor, but a
-        # per-request threshold cannot be re-applied as one score cut
-        self._uniform_ts = (term_sizes.pop()
-                            if len(term_sizes) == 1 else None)
-        self._total_docs = sum(len(ix.file_names)
-                               for ix in self.search.index_files)
+        self._factory = search_factory
+        self._bind_search(search if isinstance(search, Search)
+                          else Search(search))
 
         self.unix_path = unix_path
         if unix_path is not None:
@@ -183,6 +194,19 @@ class QueryServer:
         self._stats = collections.Counter()
         self._started = False
         self._closed = False
+
+    def _bind_search(self, search: Search) -> None:
+        """Adopt `search` as the serving index set (init + reload)."""
+        if not search.index_files:
+            raise ValueError("QueryServer needs at least one index")
+        term_sizes = {ix.term_size for ix in search.index_files}
+        # heterogeneous federations rank correctly at the floor, but a
+        # per-request threshold cannot be re-applied as one score cut
+        self._uniform_ts = (term_sizes.pop()
+                            if len(term_sizes) == 1 else None)
+        self._total_docs = sum(len(ix.file_names)
+                               for ix in search.index_files)
+        self.search = search
 
     # ------------------------------------------------------------ public
 
@@ -298,11 +322,27 @@ class QueryServer:
         if cmd == "stats":
             st = {k: 0 for k in ("queries", "batches", "query_errors",
                                  "bad_requests", "batch_failures",
-                                 "overflowed_connections")}
+                                 "overflowed_connections", "reloads",
+                                 "failed_reloads")}
             with self._lock:
                 st.update(self._stats)
             st["id"] = rid
             conn.send(st)
+            return
+        if cmd == "reload":
+            if self._factory is None:
+                conn.send({"id": rid, "error":
+                           "server not configured for reload (no "
+                           "search_factory; `cobs serve` sets one)"})
+                return
+            paths = req.get("indices")
+            if paths is not None and (
+                    not isinstance(paths, list)
+                    or not all(isinstance(p, str) for p in paths)):
+                conn.send({"id": rid, "error":
+                           "'indices' must be a list of paths"})
+                return
+            self._rq.put(_Reload(conn, rid, paths))
             return
         if cmd is not None:
             conn.send({"id": rid, "error": f"unknown cmd {cmd!r}"})
@@ -352,16 +392,20 @@ class QueryServer:
     def _next_batch(self, block):
         """Assemble one batch: first item per `block`, then linger.
 
-        Returns (items, stopping): items may be empty when not blocking
-        and the queue is idle; stopping=True once _STOP is seen.
+        Returns (items, stopping, reload): items may be empty when not
+        blocking and the queue is idle; stopping=True once _STOP is
+        seen; a _Reload ends batch assembly (it applies after this
+        batch and the in-flight window drain).
         """
         items = []
         try:
             first = self._rq.get(block=block)
         except queue.Empty:
-            return items, False
+            return items, False, None
         if first is _STOP:
-            return items, True
+            return items, True, None
+        if isinstance(first, _Reload):
+            return items, False, first
         items.append(first)
         deadline = time.monotonic() + self.linger_s
         while len(items) < self.batch_size:
@@ -372,9 +416,11 @@ class QueryServer:
             except queue.Empty:
                 break
             if nxt is _STOP:
-                return items, True
+                return items, True, None
+            if isinstance(nxt, _Reload):
+                return items, False, nxt
             items.append(nxt)
-        return items, False
+        return items, False, None
 
     def _scorer(self):
         """The serving loop: batch -> hash -> dispatch ahead -> rank.
@@ -386,21 +432,28 @@ class QueryServer:
         next batch, so sparse traffic sees latency = device time, not
         window depth.
         """
-        s = self.search
         inflight = collections.deque()
         stopping = False
+        reload_req = None
         while True:
             items = []
-            if not stopping:
-                items, stopped = self._next_batch(block=not inflight)
-                stopping = stopped
+            if not stopping and reload_req is None:
+                items, stopping, reload_req = \
+                    self._next_batch(block=not inflight)
             if not items:
                 if inflight:
                     self._emit_safe(inflight.popleft())
                     continue
+                if reload_req is not None:
+                    # window drained: no pending batch references the
+                    # old index — safe to swap
+                    self._do_reload(reload_req)
+                    reload_req = None
+                    continue
                 if stopping:
                     return
                 continue
+            s = self.search
             qbytes = [it[2].encode() for it in items]
             try:
                 t = Timer()
@@ -428,6 +481,24 @@ class QueryServer:
                 continue
             while len(inflight) > self.depth:
                 self._emit_safe(inflight.popleft())
+
+    def _do_reload(self, req: _Reload):
+        """Rebuild the index set and swap (scorer thread, window empty).
+
+        Serving pauses for the load — queued requests wait, none drop —
+        and the old index stays live if the rebuild fails.
+        """
+        try:
+            self._bind_search(self._factory(req.paths))
+        except Exception as e:
+            self._count("failed_reloads")
+            req.conn.send({"id": req.rid,
+                           "error": f"reload failed: {e}"})
+            return
+        self._count("reloads")
+        req.conn.send({"id": req.rid, "ok": True,
+                       "documents": self._total_docs,
+                       "indices": len(self.search.index_files)})
 
     def _fail_batch(self, items, exc):
         """Answer a batch whose scoring raised; the server lives on."""

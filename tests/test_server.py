@@ -370,6 +370,57 @@ def test_server_mesh_sharded(index_file, tmp_path):
         c.close()
 
 
+def test_reload_swaps_index_without_restart(tmp_path):
+    """{"cmd": "reload"}: new index answers, old stays on failure."""
+    from cobs_tpu.query.client import QueryClient, ServerError
+
+    full = tmp_path / "full"
+    shutil.copytree(DATA / "fasta", full)
+    small = tmp_path / "small"
+    small.mkdir()
+    shutil.copy(full / "sample1.fasta", small / "sample1.fasta")
+    idx_full = tmp_path / "full.cobs_classic"
+    idx_small = tmp_path / "small.cobs_classic"
+    for src, dst in ((full, idx_full), (small, idx_small)):
+        cobs_tpu.classic_construct(
+            cobs_tpu.DocumentList(src), dst,
+            index_params=cobs_tpu.ClassicIndexParameters(clobber=True))
+
+    def factory(paths=None):
+        return cobs_tpu.Search([str(p) for p in paths] if paths
+                               else [str(idx_full)])
+
+    srv = QueryServer(factory(), unix_path=str(tmp_path / "r.sock"),
+                      threshold=0.0, linger_ms=1.0,
+                      search_factory=factory)
+    with srv:
+        with QueryClient(srv.address) as c:
+            assert len(c.search(GOLDEN_QUERY)) == 7
+            info = c.reload([str(idx_small)])
+            assert info == {"documents": 1, "indices": 1}
+            assert [(r.doc_name, r.score)
+                    for r in c.search(GOLDEN_QUERY)] == [("sample1",
+                                                          20)]
+            # failed reload: error response, old (small) index lives
+            with pytest.raises(ServerError, match="reload failed"):
+                c.reload([str(tmp_path / "missing.cobs_classic")])
+            assert len(c.search(GOLDEN_QUERY)) == 1
+            # default paths = the factory's own (the full index)
+            info = c.reload()
+            assert info["documents"] == 7
+            assert len(c.search(GOLDEN_QUERY)) == 7
+            st = c.stats()
+            assert st["reloads"] == 2 and st["failed_reloads"] == 1
+
+
+def test_reload_unconfigured_is_an_error(served):
+    from cobs_tpu.query.client import QueryClient, ServerError
+    srv, _ = served
+    with QueryClient(srv.address) as c:
+        with pytest.raises(ServerError, match="not configured"):
+            c.reload()
+
+
 def test_server_on_compact_and_federation(tmp_path):
     fasta = tmp_path / "fasta"
     shutil.copytree(DATA / "fasta", fasta)
