@@ -25,13 +25,9 @@ the per-dispatch overhead cancels.
 """
 
 import json
+import os
 import sys
 import time
-
-import numpy as np
-
-import jax
-import jax.numpy as jnp
 
 # peak HBM bandwidth by chip generation, GB/s (public spec sheets)
 _HBM_GBPS = {
@@ -50,6 +46,19 @@ def _chip_hbm_gbps(device) -> float:
 
 
 def main() -> None:
+    import numpy as np
+
+    import jax
+
+    if os.environ.get("COBS_BENCH_CPU"):
+        # env JAX_PLATFORMS=cpu is NOT enough when a sitecustomize has
+        # pinned a hardware platform — only the live config override
+        # skips the (possibly wedged) backend init. Same trick as
+        # tests/conftest.py.
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
 
@@ -151,5 +160,51 @@ def main() -> None:
     }))
 
 
+def _watchdog() -> None:
+    """Run the measurement in a child with a hard timeout.
+
+    A wedged remote-tunnel backend can hang `jax.devices()` itself
+    indefinitely (observed; see CLAUDE.md). The driver needs ONE JSON
+    line regardless, so: try the real chip under a timeout; on a hang,
+    kill the child (exact PID) and fall back to the CPU smoke
+    measurement (vs_baseline 0.0 marks it as such); if even that
+    fails, emit an explicit zero rather than nothing.
+    """
+    import subprocess
+
+    def attempt(env, timeout):
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            stdout=subprocess.PIPE, env=env, text=True)
+        try:
+            out, _ = proc.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
+            return None
+        if proc.returncode != 0:
+            return None
+        for line in (out or "").splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                return line
+        return None
+
+    base = dict(os.environ, COBS_BENCH_CHILD="1")
+    line = attempt(base, float(os.environ.get(
+        "COBS_BENCH_TIMEOUT", "1500")))
+    if line is None:
+        print("bench: device attempt hung/failed; CPU fallback",
+              file=sys.stderr)
+        line = attempt(dict(base, COBS_BENCH_CPU="1"), 600.0)
+    if line is None:
+        line = json.dumps({"metric": "query_throughput", "value": 0.0,
+                           "unit": "queries/s", "vs_baseline": 0.0})
+    print(line, flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("COBS_BENCH_CHILD"):
+        main()
+    else:
+        _watchdog()
