@@ -189,6 +189,48 @@ def test_protocol_errors_and_control(served):
     c.close()
 
 
+def test_protocol_fuzz(served, rng):
+    """Random garbage interleaved with valid requests: every valid
+    request gets its exact answer, the server never wedges."""
+    srv, direct = served
+    want = expected(direct, GOLDEN_QUERY)
+    c = Client(srv.address)
+    garbage = [
+        b"\x00\xff\xfe garbage\n",
+        b"[1, 2, 3]\n",
+        b'"just a string"\n',
+        b"{\n",
+        b'{"query": 42}\n',
+        b'{"query": ""}\n',
+        b'{"cmd": "nonsense"}\n',
+        b'{"query": "' + b"A" * 40 + b'", "threshold": "high"}\n',
+        b'{"query": "' + b"A" * 40 + b'", "num_results": -3}\n',
+    ]
+    valid_ids = []
+    k = 0
+    for i in range(60):
+        if rng.random() < 0.5:
+            c.sock.sendall(garbage[int(rng.integers(len(garbage)))])
+        else:
+            c.send({"id": k, "query": GOLDEN_QUERY})
+            valid_ids.append(k)
+            k += 1
+    # every line is either an error (garbage) or a valid result
+    needed = set(valid_ids)
+    for _ in range(70):  # every sent line produces <= 1 response
+        if not needed:
+            break
+        r = c.recv()
+        if r.get("id") in needed and "results" in r:
+            assert r["results"] == want
+            needed.discard(r["id"])
+        else:
+            assert "error" in r
+    assert not needed
+    assert c.ask({"cmd": "ping"})["ok"] is True
+    c.close()
+
+
 def test_topk_serving_mode(index_file, tmp_path):
     s = cobs_tpu.Search(str(index_file))
     direct = cobs_tpu.Search(str(index_file))
