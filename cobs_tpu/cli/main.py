@@ -403,6 +403,14 @@ def cmd_serve(argv):
     print(f"SERVING {addr} floor_t={args.threshold} "
           f"limit={args.limit} batch={args.batch} "
           f"linger_ms={args.linger_ms}", flush=True)
+
+    import signal
+
+    def _graceful(signum, frame):
+        # drain queued requests and in-flight batches, then exit 0
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _graceful)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -293,9 +293,17 @@ def test_cli_serve_subprocess(index_file, tmp_path):
         r = c.ask({"id": 0, "query": GOLDEN_QUERY, "threshold": 0.8})
         assert r["results"] == [["sample1", 20]]
         c.close()
-    finally:
+        # SIGTERM = graceful drain-and-exit: rc 0, socket file removed
         proc.terminate()
-        proc.wait(timeout=30)
+        assert proc.wait(timeout=60) == 0
+        deadline = time.monotonic() + 10
+        while sock.exists() and time.monotonic() < deadline:
+            time.sleep(0.1)
+        assert not sock.exists()
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
 
 
 def test_query_client(served):
