@@ -363,6 +363,10 @@ def cmd_serve(argv):
     p.add_argument("--linger-ms", type=float, default=2.0,
                    help="batching window after the first query of a "
                         "batch arrives, default: 2 ms")
+    p.add_argument("--warmup", type=int, default=0, metavar="LEN",
+                   help="pre-compile the scoring program for LEN-"
+                        "character queries before accepting clients "
+                        "(first remote compiles cost tens of seconds)")
     p.add_argument("--load-complete", action="store_true",
                    help="force the whole index into device HBM")
     p.add_argument("--streamed", action="store_true",
@@ -398,6 +402,9 @@ def cmd_serve(argv):
         port=args.port, batch_size=args.batch,
         linger_ms=args.linger_ms, threshold=args.threshold,
         num_results=args.limit, search_factory=factory)
+    if args.warmup:
+        server.warmup(args.warmup)
+        print(f"WARM query_len={args.warmup}", flush=True)
     addr = server.address
     addr = addr if isinstance(addr, str) else f"{addr[0]}:{addr[1]}"
     print(f"SERVING {addr} floor_t={args.threshold} "

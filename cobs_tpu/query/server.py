@@ -228,6 +228,23 @@ class QueryServer:
         self._accept_thread.start()
         self._scorer_thread.start()
 
+    def warmup(self, query_len: int) -> None:
+        """Pre-compile the scoring program for this server's batch
+        size and a `query_len`-character query (first remote compiles
+        cost tens of seconds — pay them at deploy time, not on the
+        first client's request). Call before `start()`."""
+        import numpy as np
+
+        if self._started:
+            raise RuntimeError("warmup() must run before start()")
+        ts = max(ix.term_size for ix in self.search.index_files)
+        query_len = max(int(query_len), ts)
+        rng = np.random.default_rng(0xC0B5)
+        alphabet = np.frombuffer(b"ACGT", dtype=np.uint8)
+        qs = [bytes(alphabet[rng.integers(0, 4, query_len)]).decode()
+              for _ in range(self.batch_size)]
+        self.search.search_batch(qs, self.t_floor, self.limit)
+
     def serve_forever(self) -> None:
         """start() and block until close() (for the CLI)."""
         self.start()

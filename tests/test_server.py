@@ -189,6 +189,21 @@ def test_protocol_errors_and_control(served):
     c.close()
 
 
+def test_warmup_precompiles(index_file, tmp_path):
+    s = cobs_tpu.Search(str(index_file))
+    direct = cobs_tpu.Search(str(index_file))
+    srv = QueryServer(s, unix_path=str(tmp_path / "w.sock"),
+                      threshold=0.0, linger_ms=1.0)
+    srv.warmup(len(GOLDEN_QUERY))
+    with srv:
+        c = Client(srv.address)
+        r = c.ask({"id": 0, "query": GOLDEN_QUERY})
+        assert r["results"] == expected(direct, GOLDEN_QUERY)
+        c.close()
+        with pytest.raises(RuntimeError, match="before start"):
+            srv.warmup(50)
+
+
 def test_protocol_fuzz(served, rng):
     """Random garbage interleaved with valid requests: every valid
     request gets its exact answer, the server never wedges."""
