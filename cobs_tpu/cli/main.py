@@ -427,6 +427,114 @@ def cmd_serve(argv):
     return 0
 
 
+def cmd_doctor(argv):
+    """Deployment self-check (TPU addition). The device probe runs in
+    a CHILD process under a timeout: a wedged remote backend can hang
+    `jax.devices()` itself indefinitely (see CLAUDE.md), and an
+    operator needs that DIAGNOSED, not reproduced."""
+    p = argparse.ArgumentParser(prog="cobs doctor")
+    p.add_argument("--timeout", type=float, default=60.0,
+                   help="seconds to wait for the device probe "
+                        "(default 60; first backend init on a remote "
+                        "chip can take ~10 s)")
+    args = p.parse_args(argv)
+
+    import json
+    import os
+    import platform
+    import subprocess
+    import tempfile
+
+    import numpy as np
+
+    failures = 0
+    print(f"python {sys.version.split()[0]} on {platform.platform()}")
+    import jax
+    print(f"jax {jax.__version__}  "
+          f"JAX_PLATFORMS={os.environ.get('JAX_PLATFORMS', '(unset)')}")
+
+    # --- device: child process so a wedged backend cannot hang us
+    probe = (
+        "import json, os, time\n"
+        "import jax\n"
+        "plat = os.environ.get('JAX_PLATFORMS')\n"
+        "if plat:\n"
+        "    jax.config.update('jax_platforms', plat)\n"
+        "t0 = time.time()\n"
+        "ds = jax.devices()\n"
+        "import numpy as np, jax.numpy as jnp\n"
+        "y = np.asarray(jnp.arange(8.0) * 2)\n"
+        "assert y[3] == 6.0\n"
+        "print(json.dumps({'n': len(ds),"
+        " 'platform': ds[0].platform,"
+        " 'kind': ds[0].device_kind,"
+        " 'roundtrip_s': round(time.time() - t0, 2)}))\n")
+    try:
+        r = subprocess.run([sys.executable, "-c", probe],
+                           capture_output=True, text=True,
+                           timeout=args.timeout)
+        info = None
+        for line in (r.stdout or "").splitlines():
+            if line.startswith("{"):
+                info = json.loads(line)
+        if r.returncode == 0 and info:
+            print(f"DEVICE OK: {info['n']}x {info['kind']} "
+                  f"({info['platform']}), first op round-trip "
+                  f"{info['roundtrip_s']}s")
+        else:
+            failures += 1
+            tail = (r.stderr or "").strip().splitlines()[-1:]
+            print(f"DEVICE FAILED: probe exited {r.returncode}"
+                  + (f" ({tail[0]})" if tail else ""))
+    except subprocess.TimeoutExpired:
+        failures += 1
+        print(f"DEVICE UNREACHABLE: backend init/round-trip did not "
+              f"return within {args.timeout:.0f}s - remote tunnel "
+              "down or chip wedged by a leftover dispatch backlog. "
+              "Recovery: stop clients, retry with a longer --timeout; "
+              "the first op after a backlog drains slowly.")
+
+    # --- native host runtime + io_uring
+    from cobs_tpu import native
+    if native.lib() is not None:
+        print("NATIVE OK: C++ host kernels loaded "
+              "(hashing, scatter, row gather, scoring)")
+        with tempfile.NamedTemporaryFile() as f:
+            f.write(b"x" * 4096)
+            f.flush()
+            out = np.empty((2, 16), dtype=np.uint8)
+            if native.gather_rows_file(f.name, 0, 16,
+                                       np.array([0, 4], np.int64),
+                                       out):
+                print("IO_URING OK: batched async row reads available")
+            else:
+                print("IO_URING UNAVAILABLE: cold-cache streamed "
+                      "queries fall back to threaded mmap (seccomp "
+                      "or pre-5.1 kernel?)")
+    else:
+        print("NATIVE UNAVAILABLE: NumPy fallbacks in use "
+              "(set COBS_TPU_NO_NATIVE=0 and check g++)"
+              if os.environ.get("COBS_TPU_NO_NATIVE")
+              else "NATIVE UNAVAILABLE: build failed - check g++; "
+                   "NumPy fallbacks in use")
+
+    # --- persistent compile cache
+    cache = jax.config.jax_compilation_cache_dir
+    if cache and os.path.isdir(cache):
+        n = sum(1 for _ in os.scandir(cache))
+        print(f"COMPILE CACHE OK: {cache} ({n} entries)")
+    elif cache:
+        print(f"COMPILE CACHE EMPTY: {cache} (created on first use)")
+    else:
+        print("COMPILE CACHE DISABLED")
+
+    from cobs_tpu.settings import settings
+    print(f"settings: threads={settings.threads} "
+          f"device_hash={settings.device_hash} "
+          f"streamed_score={settings.streamed_host_score}")
+    return 1 if failures else 0
+
+
 # ------------------------------------------------------------------- misc
 
 def cmd_print_parameters(argv):
@@ -723,6 +831,7 @@ SUBTOOLS = {
                                   "index"),
     "query": (cmd_query, "query an index"),
     "serve": (cmd_serve, "run a resident batching query server"),
+    "doctor": (cmd_doctor, "check devices, native runtime, caches"),
     "print-parameters": (cmd_print_parameters,
                          "print index parameters for a given configuration"),
     "print-kmers": (cmd_print_kmers,

@@ -175,3 +175,13 @@ def test_topk_path_multi_index(classic_index, fasta_dir, tmp_path):
     got = s.search(GOLDEN, 0.0, 5)
     assert [(r.doc_name, r.score) for r in got] == \
         [(r.doc_name, r.score) for r in full[:5]]
+
+
+def test_doctor(capsys):
+    """`cobs doctor`: device probe (child process, timeout-guarded),
+    native runtime, io_uring, and compile-cache checks all report."""
+    assert cli.main(["doctor", "--timeout", "120"]) == 0
+    out = capsys.readouterr().out
+    assert "DEVICE OK" in out
+    assert "NATIVE" in out
+    assert "COMPILE CACHE" in out
