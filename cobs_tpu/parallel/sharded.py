@@ -81,6 +81,21 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+class PendingSharded:
+    """A dispatched sharded scoring batch; `fetch()` materializes on
+    the host. Keep the in-flight window bounded (the engine's
+    PendingScores discipline): XLA has already enqueued the shard_map
+    program, so fetch is the only blocking step."""
+
+    __slots__ = ("_finish",)
+
+    def __init__(self, finish):
+        self._finish = finish
+
+    def fetch(self):
+        return self._finish()
+
+
 class ShardedIndex:
     """An index re-laid-out across a ("batch", "docs") mesh.
 
@@ -166,6 +181,12 @@ class ShardedIndex:
         mesh axis and per-document scores merge with one psum
         (SURVEY §5's long-context mapping — no quadratic interaction
         exists, so a plain term shard + score reduction suffices)."""
+        return self.score_batch_async(hashes_list).fetch()
+
+    def score_batch_async(self, hashes_list) -> "PendingSharded":
+        """Dispatch `score_batch` without fetching; `.fetch()`
+        materializes. Bounded in-flight use only (the dispatch-ahead
+        discipline of engine.PendingScores applies)."""
         from cobs_tpu.query.engine import QueryBytes
         from cobs_tpu.settings import settings
 
@@ -176,22 +197,25 @@ class ShardedIndex:
                 scores = score_sharded_from_queries(
                     self.mesh, self.matrix, jnp.asarray(qb),
                     jnp.asarray(lens), *self._hash_args())
-            return assemble_scores(
+            return PendingSharded(lambda: assemble_scores(
                 _fetch(self.mesh, scores),
-                self.index.docs_per_page)[:len(queries)]
+                self.index.docs_per_page)[:len(queries)])
 
+        B = len(hashes_list)
         T_max = max(h.shape[0] for h in hashes_list)
         if (self.mesh.shape["batch"] > 1
                 and T_max >= settings.seq_split_terms):
-            return self._score_batch_seq(hashes_list)
-        rows_idx = self._rows_idx(hashes_list)
-        scores = score_sharded(self.mesh, self.matrix,
-                               jnp.asarray(rows_idx),
-                               self.index.num_hashes)
-        return assemble_scores(_fetch(self.mesh, scores),
-                               self.index.docs_per_page)[:len(hashes_list)]
+            scores = self._dispatch_seq(hashes_list)
+        else:
+            rows_idx = self._rows_idx(hashes_list)
+            scores = score_sharded(self.mesh, self.matrix,
+                                   jnp.asarray(rows_idx),
+                                   self.index.num_hashes)
+        return PendingSharded(lambda: assemble_scores(
+            _fetch(self.mesh, scores),
+            self.index.docs_per_page)[:B])
 
-    def _score_batch_seq(self, hashes_list) -> np.ndarray:
+    def _dispatch_seq(self, hashes_list) -> jax.Array:
         """Sequence-parallel scoring: pad the term axis to a multiple
         of the "batch" axis (padding terms hit the zero row), shard it,
         psum-merge the partial counts."""
@@ -204,11 +228,8 @@ class ShardedIndex:
                            self.zero_row, dtype=np.int32)
         for b, hs in enumerate(hashes_list):
             rows_idx[b, :hs.shape[0]] = ix.row_indices(hs)
-        scores = score_seq_sharded(self.mesh, self.matrix,
-                                   jnp.asarray(rows_idx),
-                                   ix.num_hashes)
-        return assemble_scores(_fetch(self.mesh, scores),
-                               ix.docs_per_page)[:B]
+        return score_seq_sharded(self.mesh, self.matrix,
+                                 jnp.asarray(rows_idx), ix.num_hashes)
 
     def score_topk(self, hashes_list, k: int):
         """Sharded top-k: each "docs" shard ranks its own documents with
@@ -222,6 +243,11 @@ class ShardedIndex:
         score-slot numbering as engine.score_topk; padding slots carry
         score -1 and must be dropped by the caller.
         """
+        return self.score_topk_async(hashes_list, k).fetch()
+
+    def score_topk_async(self, hashes_list, k: int) -> "PendingSharded":
+        """Dispatch `score_topk` without fetching; `.fetch()` merges
+        the per-shard candidates on the host."""
         from cobs_tpu.query.engine import QueryBytes, _doc_valid_mask
         ix = self.index
         B = len(hashes_list)
@@ -247,19 +273,25 @@ class ShardedIndex:
                                        jnp.asarray(rows_idx),
                                        self._topk_mask, ix.num_hashes,
                                        k_eff)
-        vals = _fetch(self.mesh, vals)[:B]
-        gidx = _fetch(self.mesh, gidx)[:B]
-        # merge the per-shard candidate lists per query
-        out_v = np.full((B, min(k, vals.shape[1])), -1, dtype=np.int32)
-        out_d = np.zeros((B, out_v.shape[1]), dtype=np.int64)
-        doc_numbers = ((gidx // W32) * ix.docs_per_page
-                       + gidx % W32).astype(np.int64)
-        for b in range(B):
-            order = np.lexsort((doc_numbers[b], -vals[b].astype(np.int64)))
-            order = order[:out_v.shape[1]]
-            out_v[b] = vals[b][order]
-            out_d[b] = doc_numbers[b][order]
-        return out_v, out_d
+
+        def finish():
+            v = _fetch(self.mesh, vals)[:B]
+            g = _fetch(self.mesh, gidx)[:B]
+            # merge the per-shard candidate lists per query
+            out_v = np.full((B, min(k, v.shape[1])), -1,
+                            dtype=np.int32)
+            out_d = np.zeros((B, out_v.shape[1]), dtype=np.int64)
+            doc_numbers = ((g // W32) * ix.docs_per_page
+                           + g % W32).astype(np.int64)
+            for b in range(B):
+                order = np.lexsort((doc_numbers[b],
+                                    -v[b].astype(np.int64)))
+                order = order[:out_v.shape[1]]
+                out_v[b] = v[b][order]
+                out_d[b] = doc_numbers[b][order]
+            return out_v, out_d
+
+        return PendingSharded(finish)
 
 
 def score_sharded(mesh: Mesh, matrix: jax.Array, rows_idx: jax.Array,

@@ -222,7 +222,7 @@ class Search:
             if self._sharded[0].mesh.shape["batch"] > 1:
                 t_max = max(len(q) for q in qbytes) - ix.term_size + 1
                 if t_max >= settings.seq_split_terms:
-                    return False  # _score_batch_seq needs host hashes
+                    return False  # _dispatch_seq needs host hashes
             return True
         return isinstance(ix, DeviceIndex)
 
@@ -396,6 +396,12 @@ class Search:
         runtime."""
         from cobs_tpu.query.engine import score_topk_async
 
+        if self._sharded is not None:
+            if num_results > 0:
+                return [sh.score_topk_async(hashed[k], num_results)
+                        for k, sh in enumerate(self._sharded)]
+            return [sh.score_batch_async(hashed[k])
+                    for k, sh in enumerate(self._sharded)]
         if num_results > 0:
             return [ix.score_topk_async(hashed[k], num_results,
                                         self.timer_)
@@ -444,13 +450,12 @@ class Search:
         ranks batch k, a worker thread hashes batch k+1 (the native
         hashing kernels release the GIL, so this is real overlap).
         A bounded window of score batches is additionally kept in
-        flight — dispatched-ahead device work for HBM-resident
-        indexes, a host worker thread for streamed host-scored ones —
-        so batch k's fetch overlaps batch k+1's scoring: the lever
-        that matters when the chip sits behind a high-latency link.
-        This covers full ranking, top-k (num_results > 0) and
-        StreamedIndex backends; only mesh-sharded search scores
-        synchronously.
+        flight — dispatched-ahead device work for HBM-resident and
+        mesh-sharded indexes, a host worker thread for streamed
+        host-scored ones — so batch k's fetch overlaps batch k+1's
+        scoring: the lever that matters when the chip sits behind a
+        high-latency link. This covers full ranking, top-k
+        (num_results > 0), StreamedIndex, and mesh-sharded backends.
 
         Yields one `list[SearchResult]` per query, in order. An
         invalid query (too short, non-ACGT) yields a `QueryError` in
@@ -461,7 +466,6 @@ class Search:
         import itertools
 
         it = iter(queries)
-        pipelined = self._sharded is None
         DEPTH = 2   # bounded: unbounded async enqueue poisons
         # tunneled devices (see PendingScores)
         total_docs = sum(len(ix.file_names) for ix in self.index_files)
@@ -492,19 +496,11 @@ class Search:
                     break
                 self.timer_.merge(t)
                 pending = pool.submit(hash_next)
-                if pipelined:
-                    inflight.append((qbytes, errors,
-                                     self._dispatch_async(hashed,
-                                                          num_results)))
-                    if len(inflight) > DEPTH:
-                        yield from finish(*inflight.popleft())
-                else:
-                    res = self._score_ranked(qbytes, hashed,
-                                             threshold, num_results)
-                    for b in range(len(qbytes)):
-                        if errors[b] is not None:
-                            res[b] = QueryError(qbytes[b], errors[b])
-                    yield from res
+                inflight.append((qbytes, errors,
+                                 self._dispatch_async(hashed,
+                                                      num_results)))
+                if len(inflight) > DEPTH:
+                    yield from finish(*inflight.popleft())
             while inflight:
                 yield from finish(*inflight.popleft())
 

@@ -478,18 +478,6 @@ class QueryServer:
                 s.timer_.merge(t)
                 self._count("batches")
                 self._count("queries", len(items))
-                if s._sharded is not None:
-                    # mesh-sharded scoring is synchronous (as in
-                    # search_stream): the shard_map program has no
-                    # dispatch-ahead handle yet
-                    ranked = s._score_ranked(qbytes, hashed,
-                                             self.t_floor, self.limit)
-                    for b in range(len(qbytes)):
-                        if errors[b] is not None:
-                            ranked[b] = QueryError(qbytes[b],
-                                                   errors[b])
-                    self._emit_ranked(items, qbytes, ranked)
-                    continue
                 inflight.append(
                     (items, qbytes, errors,
                      s._dispatch_async(hashed, self.limit)))

@@ -179,9 +179,9 @@ def test_search_auto_seq_split_long_query(classic_index, monkeypatch):
     from cobs_tpu.utils.misc import random_sequence
 
     calls = []
-    orig = SI._score_batch_seq
+    orig = SI._dispatch_seq
     monkeypatch.setattr(
-        SI, "_score_batch_seq",
+        SI, "_dispatch_seq",
         lambda self, h: calls.append(len(h)) or orig(self, h))
     monkeypatch.setattr(settings, "seq_split_terms", 256)
     mesh = make_mesh(n_batch=4, n_docs=2)
