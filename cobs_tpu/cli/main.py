@@ -367,6 +367,10 @@ def cmd_serve(argv):
                    help="pre-compile the scoring program for LEN-"
                         "character queries before accepting clients "
                         "(first remote compiles cost tens of seconds)")
+    p.add_argument("--log-interval", type=float, default=0.0,
+                   metavar="SECS",
+                   help="print a RESULT throughput/counter line every "
+                        "SECS seconds (0 = off)")
     p.add_argument("--load-complete", action="store_true",
                    help="force the whole index into device HBM")
     p.add_argument("--streamed", action="store_true",
@@ -419,7 +423,7 @@ def cmd_serve(argv):
 
     signal.signal(signal.SIGTERM, _graceful)
     try:
-        server.serve_forever()
+        server.serve_forever(log_interval=args.log_interval)
     except KeyboardInterrupt:
         pass
     finally:

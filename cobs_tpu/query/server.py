@@ -245,10 +245,39 @@ class QueryServer:
               for _ in range(self.batch_size)]
         self.search.search_batch(qs, self.t_floor, self.limit)
 
-    def serve_forever(self) -> None:
-        """start() and block until close() (for the CLI)."""
+    def serve_forever(self, log_interval: float = 0.0) -> None:
+        """start() and block until close() (for the CLI).
+
+        log_interval > 0 prints a RESULT line (the reference's
+        benchmark line protocol, reference: src/cobs.cpp:647-662)
+        every that-many seconds with the interval's throughput and
+        the cumulative counters.
+        """
         self.start()
-        self._scorer_thread.join()
+        if log_interval <= 0:
+            self._scorer_thread.join()
+            return
+        import sys
+
+        last_q = 0
+        last_t = time.monotonic()
+        while self._scorer_thread.is_alive():
+            self._scorer_thread.join(timeout=log_interval)
+            if not self._scorer_thread.is_alive():
+                break
+            with self._lock:
+                st = dict(self._stats)
+            now = time.monotonic()
+            q = st.get("queries", 0)
+            qps = (q - last_q) / max(now - last_t, 1e-9)
+            print(f"RESULT queries_per_s={qps:.1f} queries={q} "
+                  f"batches={st.get('batches', 0)} "
+                  f"conns={len(self._conns)} "
+                  f"query_errors={st.get('query_errors', 0)} "
+                  f"bad_requests={st.get('bad_requests', 0)} "
+                  f"batch_failures={st.get('batch_failures', 0)}",
+                  file=sys.stderr, flush=True)
+            last_q, last_t = q, now
 
     def close(self) -> None:
         """Stop accepting, flush in-flight batches, shut down."""

@@ -189,6 +189,27 @@ def test_protocol_errors_and_control(served):
     c.close()
 
 
+def test_serve_forever_log_interval(index_file, tmp_path, capsys):
+    import time
+
+    s = cobs_tpu.Search(str(index_file))
+    srv = QueryServer(s, unix_path=str(tmp_path / "lg.sock"),
+                      threshold=0.0, linger_ms=1.0)
+    t = threading.Thread(
+        target=lambda: srv.serve_forever(log_interval=0.2),
+        daemon=True)
+    t.start()
+    time.sleep(0.1)
+    c = Client(srv.address)
+    assert c.ask({"id": 0, "query": GOLDEN_QUERY})["results"]
+    time.sleep(0.5)
+    c.close()
+    srv.close()
+    t.join(timeout=30)
+    err = capsys.readouterr().err
+    assert "RESULT queries_per_s=" in err and "queries=1" in err
+
+
 def test_warmup_precompiles(index_file, tmp_path):
     s = cobs_tpu.Search(str(index_file))
     direct = cobs_tpu.Search(str(index_file))
