@@ -480,7 +480,10 @@ def cmd_doctor(argv):
         info = None
         for line in (r.stdout or "").splitlines():
             if line.startswith("{"):
-                info = json.loads(line)
+                try:
+                    info = json.loads(line)
+                except ValueError:
+                    pass  # stray brace-prefixed log line, not ours
         if r.returncode == 0 and info:
             print(f"DEVICE OK: {info['n']}x {info['kind']} "
                   f"({info['platform']}), first op round-trip "

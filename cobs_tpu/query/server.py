@@ -108,6 +108,24 @@ class _Conn:
         except OSError:
             pass
 
+    def finish(self, timeout: float = 10.0) -> None:
+        """Graceful close: flush queued responses, then close.
+
+        Used at server shutdown so responses the scorer already
+        enqueued reach their clients; falls back to the abortive
+        close() if the writer cannot drain in time (stalled client).
+        """
+        try:
+            self._outq.put_nowait(_STOP)
+        except queue.Full:
+            self.close()
+            return
+        self._writer.join(timeout)
+        if self._writer.is_alive():
+            self.close()
+        else:
+            self.alive = False
+
     def close(self):
         self.alive = False
         # full shutdown unblocks a writer stuck in sendall() to a
@@ -237,11 +255,12 @@ class QueryServer:
 
         if self._started:
             raise RuntimeError("warmup() must run before start()")
+        from cobs_tpu.utils.misc import random_sequence_rng
+
         ts = max(ix.term_size for ix in self.search.index_files)
         query_len = max(int(query_len), ts)
         rng = np.random.default_rng(0xC0B5)
-        alphabet = np.frombuffer(b"ACGT", dtype=np.uint8)
-        qs = [bytes(alphabet[rng.integers(0, 4, query_len)]).decode()
+        qs = [random_sequence_rng(query_len, rng)
               for _ in range(self.batch_size)]
         self.search.search_batch(qs, self.t_floor, self.limit)
 
@@ -257,8 +276,6 @@ class QueryServer:
         if log_interval <= 0:
             self._scorer_thread.join()
             return
-        import sys
-
         last_q = 0
         last_t = time.monotonic()
         while self._scorer_thread.is_alive():
@@ -276,7 +293,8 @@ class QueryServer:
                   f"query_errors={st.get('query_errors', 0)} "
                   f"bad_requests={st.get('bad_requests', 0)} "
                   f"batch_failures={st.get('batch_failures', 0)}",
-                  file=sys.stderr, flush=True)
+                  flush=True)  # stdout: the RESULT line protocol the
+            # benchmark harness greps (cf. benchmark-fpr, timer.py)
             last_q, last_t = q, now
 
     def close(self) -> None:
@@ -294,7 +312,9 @@ class QueryServer:
         with self._lock:
             conns = list(self._conns)
         for c in conns:
-            c.close()
+            # flush responses the scorer enqueued before closing —
+            # a graceful shutdown must not drop already-scored work
+            c.finish()
         if self.unix_path is not None and os.path.exists(self.unix_path):
             os.unlink(self.unix_path)
 
@@ -383,10 +403,12 @@ class QueryServer:
                 return
             paths = req.get("indices")
             if paths is not None and (
-                    not isinstance(paths, list)
+                    not isinstance(paths, list) or not paths
                     or not all(isinstance(p, str) for p in paths)):
                 conn.send({"id": rid, "error":
-                           "'indices' must be a list of paths"})
+                           "'indices' must be a non-empty list of "
+                           "paths (omit it to reload the original "
+                           "set)"})
                 return
             self._rq.put(_Reload(conn, rid, paths))
             return
@@ -492,16 +514,18 @@ class QueryServer:
                     continue
                 if reload_req is not None:
                     # window drained: no pending batch references the
-                    # old index — safe to swap
+                    # old index — safe to swap (the loop holds no
+                    # other reference, so the old index's device
+                    # buffers free before the new one loads)
                     self._do_reload(reload_req)
                     reload_req = None
                     continue
                 if stopping:
                     return
                 continue
-            s = self.search
             qbytes = [it[2].encode() for it in items]
             try:
+                s = self.search
                 t = Timer()
                 hashed, errors = s._hash_batch_lenient(qbytes, t)
                 s.timer_.merge(t)
@@ -510,6 +534,7 @@ class QueryServer:
                 inflight.append(
                     (items, qbytes, errors,
                      s._dispatch_async(hashed, self.limit)))
+                del hashed, s
             except Exception as e:  # a resident server must survive
                 self._fail_batch(items, e)
                 continue
@@ -553,17 +578,35 @@ class QueryServer:
             self._total_docs))
 
     def _emit_ranked(self, items, qbytes, ranked):
+        """Refine + send per item. Failures past this point answer
+        ONLY their own item: a whole-batch retry would double-respond
+        items already sent and desync the one-response-per-request
+        protocol for every pipelined client on those connections."""
         for (conn, rid, _q, thr, lim), qb, res in zip(items, qbytes,
                                                       ranked):
-            if isinstance(res, QueryError):
-                self._count("query_errors")
-                conn.send({"id": rid, "error": res.message})
-                continue
-            if thr > self.t_floor:
-                # term count from the scored BYTES (len(str) diverges
-                # for non-ASCII text-mode queries)
-                num_terms = len(qb) - self._uniform_ts + 1
-                res = res.cut(min_score=math.ceil(thr * num_terms))
-            if lim > 0:
-                res = res.cut(limit=lim)
-            conn.send({"id": rid, "results": res.pairs()})
+            try:
+                if isinstance(res, QueryError):
+                    self._count("query_errors")
+                    conn.send({"id": rid, "error": res.message})
+                    continue
+                if thr > self.t_floor:
+                    if self._uniform_ts is None:
+                        # a reload made the federation heterogeneous
+                        # after this request passed intake validation
+                        conn.send({"id": rid, "error":
+                                   "per-request thresholds need one "
+                                   "uniform term size; the index set "
+                                   "changed — retry at the floor "
+                                   f"{self.t_floor}"})
+                        continue
+                    # term count from the scored BYTES (len(str)
+                    # diverges for non-ASCII text-mode queries)
+                    num_terms = len(qb) - self._uniform_ts + 1
+                    res = res.cut(min_score=math.ceil(thr * num_terms))
+                if lim > 0:
+                    res = res.cut(limit=lim)
+                conn.send({"id": rid, "results": res.pairs()})
+            except Exception as e:
+                self._count("batch_failures")
+                conn.send({"id": rid,
+                           "error": f"internal error: {e!r}"})

@@ -206,8 +206,8 @@ def test_serve_forever_log_interval(index_file, tmp_path, capsys):
     c.close()
     srv.close()
     t.join(timeout=30)
-    err = capsys.readouterr().err
-    assert "RESULT queries_per_s=" in err and "queries=1" in err
+    out = capsys.readouterr().out  # stdout: the RESULT line protocol
+    assert "RESULT queries_per_s=" in out and "queries=1" in out
 
 
 def test_warmup_precompiles(index_file, tmp_path):
@@ -491,6 +491,10 @@ def test_reload_swaps_index_without_restart(tmp_path):
             with pytest.raises(ServerError, match="reload failed"):
                 c.reload([str(tmp_path / "missing.cobs_classic")])
             assert len(c.search(GOLDEN_QUERY)) == 1
+            # an explicit empty list must be an error, not a silent
+            # reload of the original paths
+            with pytest.raises(ServerError, match="non-empty"):
+                c.reload([])
             # default paths = the factory's own (the full index)
             info = c.reload()
             assert info["documents"] == 7
