@@ -527,3 +527,30 @@ def test_server_on_compact_and_federation(tmp_path):
         r = c.ask({"id": 0, "query": GOLDEN_QUERY, "threshold": 0.8})
         assert r["results"] == expected(direct, GOLDEN_QUERY, 0.8)
         c.close()
+
+    # two-shard federation behind the server (the multi-host serving
+    # shape: per-host sub-indices opened as one federated Search)
+    d1, d2 = tmp_path / "d1", tmp_path / "d2"
+    d1.mkdir(), d2.mkdir()
+    samples = sorted(fasta.iterdir())
+    for p in samples[:3]:
+        shutil.copy(p, d1 / p.name)
+    for p in samples[3:]:
+        shutil.copy(p, d2 / p.name)
+    i1, i2 = tmp_path / "s1.cobs_classic", tmp_path / "s2.cobs_classic"
+    for src, dst in ((d1, i1), (d2, i2)):
+        cobs_tpu.classic_construct(
+            cobs_tpu.DocumentList(src), dst,
+            index_params=cobs_tpu.ClassicIndexParameters(clobber=True))
+    fed_direct = cobs_tpu.Search([str(i1), str(i2)])
+    srv = QueryServer(cobs_tpu.Search([str(i1), str(i2)]),
+                      unix_path=str(tmp_path / "f.sock"),
+                      threshold=0.0, linger_ms=1.0)
+    with srv:
+        c = Client(srv.address)
+        for thr in (0.0, 0.5, 0.8):
+            r = c.ask({"id": thr, "query": GOLDEN_QUERY,
+                       "threshold": thr})
+            assert r["results"] == expected(fed_direct, GOLDEN_QUERY,
+                                            thr)
+        c.close()
