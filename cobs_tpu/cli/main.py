@@ -431,6 +431,96 @@ def cmd_serve(argv):
     return 0
 
 
+def cmd_info(argv):
+    """Inspect an index file: header fields, geometry, sizes; --scan
+    adds payload statistics (per-document set-bit ratio vs the
+    analytic expectation — the density oracle the reference's tests
+    assert, reference: tests/classic_index_construction.cpp:87-92)."""
+    p = argparse.ArgumentParser(prog="cobs info")
+    p.add_argument("index", help="index file (classic or compact)")
+    p.add_argument("--scan", action="store_true",
+                   help="scan the payload: ones ratio + corruption "
+                        "check (reads the whole file)")
+    args = p.parse_args(argv)
+
+    import os
+
+    import numpy as np
+
+    from cobs_tpu.fmt import classic as fc
+    from cobs_tpu.fmt import compact as fco
+    from cobs_tpu.fmt.magic import FileIOError
+    from cobs_tpu.utils.misc import format_iec
+
+    path = args.index
+    size = os.path.getsize(path)
+    if fc.is_classic_file(path):
+        h = fc.read_classic_header(path)
+        print(f"kind            classic ({fc.FILE_EXTENSION})")
+        print(f"file size       {format_iec(size)}")
+        print(f"term size       {h.term_size}")
+        print(f"canonicalize    {h.canonicalize}")
+        print(f"num hashes      {h.num_hashes}")
+        print(f"signature size  {h.signature_size} bits")
+        print(f"documents       {len(h.file_names)}")
+        print(f"row size        {h.row_size} B "
+              f"(8-aligned doc slots: {8 * h.row_size})")
+        print(f"payload         "
+              f"{format_iec(h.signature_size * h.row_size)}")
+        if args.scan:
+            with open(path, "rb") as f:
+                f.seek(size - h.signature_size * h.row_size)
+                mat = np.fromfile(f, dtype=np.uint8).reshape(
+                    h.signature_size, h.row_size)
+            bits = np.unpackbits(mat, axis=1, bitorder="little")
+            ones = bits.sum(axis=0)
+            ratio = ones / float(h.signature_size)
+            n = len(h.file_names)
+            print(f"ones ratio      min {ratio[:n].min():.6f} "
+                  f"mean {ratio[:n].mean():.6f} "
+                  f"max {ratio[:n].max():.6f}")
+            pad = ratio[n:]
+            if pad.size and pad.max() > 0:
+                print("WARNING: padding doc slots contain set bits")
+    elif fco.is_compact_file(path):
+        h, payload_off = fco.read_compact_header(path)
+        print(f"kind            compact ({fco.FILE_EXTENSION})")
+        print(f"file size       {format_iec(size)}")
+        print(f"term size       {h.term_size}")
+        print(f"canonicalize    {h.canonicalize}")
+        print(f"page size       {h.page_size} B "
+              f"({8 * h.page_size} docs/page)")
+        print(f"pages           {len(h.parameters)}")
+        print(f"documents       {len(h.file_names)}")
+        sigs = [p_.signature_size for p_ in h.parameters]
+        print(f"signature sizes {min(sigs)}..{max(sigs)} bits "
+              f"(uniform num_hashes {h.parameters[0].num_hashes})")
+        payload = sum(s * h.page_size for s in sigs)
+        print(f"payload         {format_iec(payload)} "
+              f"(starts page-aligned at {payload_off})")
+        if h.page_size < 512:
+            print(f"hint: {h.page_size} B pages pad to the 128-word "
+                  "TPU lane tile at query time; page_size >= 512 "
+                  "queries up to 8x faster (docs/tutorial.md)")
+        if args.scan:
+            _, mats = fco.read_compact_index(path)
+            doc = 0
+            worst = 0.0
+            for pg, (mat, prm) in enumerate(zip(mats, h.parameters)):
+                bits = np.unpackbits(mat, axis=1, bitorder="little")
+                n_here = min(len(h.file_names) - doc, 8 * h.page_size)
+                ratio = bits.sum(axis=0)[:n_here] / float(
+                    prm.signature_size)
+                if n_here > 0:
+                    worst = max(worst, float(ratio.max()))
+                doc += n_here
+            print(f"ones ratio      max over pages {worst:.6f}")
+    else:
+        raise FileIOError(
+            f'Could not open index path "{path}" (unknown format)')
+    return 0
+
+
 def cmd_doctor(argv):
     """Deployment self-check (TPU addition). The device probe runs in
     a CHILD process under a timeout: a wedged remote backend can hang
@@ -839,6 +929,8 @@ SUBTOOLS = {
     "query": (cmd_query, "query an index"),
     "serve": (cmd_serve, "run a resident batching query server"),
     "doctor": (cmd_doctor, "check devices, native runtime, caches"),
+    "info": (cmd_info, "inspect an index file (header, geometry, "
+                       "--scan statistics)"),
     "print-parameters": (cmd_print_parameters,
                          "print index parameters for a given configuration"),
     "print-kmers": (cmd_print_kmers,

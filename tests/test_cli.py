@@ -185,3 +185,29 @@ def test_doctor(capsys):
     assert "DEVICE OK" in out
     assert "NATIVE" in out
     assert "COMPILE CACHE" in out
+
+
+def test_info(classic_index, fasta_dir, tmp_path, capsys):
+    """`cobs info`: header/geometry fields for both formats, --scan
+    density statistics within the reference's analytic bound."""
+    import re
+
+    assert cli.main(["info", str(classic_index), "--scan"]) == 0
+    out = capsys.readouterr().out
+    assert "kind            classic" in out
+    assert "documents       7" in out
+    assert "signature size  8748 bits" in out
+    m = re.search(r"max (\d+\.\d+)", out)
+    assert m and 0.0 < float(m.group(1)) <= 0.31  # fpr 0.3 bound
+
+    compact = tmp_path / "k.cobs_compact"
+    assert cli.main(["compact-construct", str(fasta_dir),
+                     str(compact), "--clobber"]) == 0
+    capsys.readouterr()
+    assert cli.main(["info", str(compact), "--scan"]) == 0
+    out = capsys.readouterr().out
+    assert "kind            compact" in out
+    assert "uniform num_hashes 1" in out
+    assert "hint:" in out  # sub-512 B pages get the TPU sizing hint
+
+    assert cli.main(["info", str(tmp_path / "nope.cobs_classic")]) == 1
