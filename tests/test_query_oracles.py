@@ -223,3 +223,27 @@ def test_classic_combine_many_files_threaded(tmp_path):
             result.read_bytes())
     assert (tmp_path / "final_t1").read_bytes() == \
         (tmp_path / "final_t8").read_bytes()
+
+
+def test_resultlist_cut_and_pairs():
+    """cut() prefix refinement must equal re-filtering; pairs() must
+    match iteration (both are the serving front-end's hot helpers)."""
+    import numpy as np
+
+    from cobs_tpu.query.search import ResultList
+
+    rng = np.random.default_rng(7)
+    names = [f"d{i}" for i in range(50)]
+    scores = rng.integers(0, 20, size=40).astype(np.int64)
+    gidx = rng.permutation(50)[:40]
+    order = np.lexsort((gidx, -scores))
+    rl = ResultList(names, gidx[order], scores[order])
+
+    assert rl.pairs() == [[r.doc_name, r.score] for r in rl]
+    for thr in (0, 1, 5, 19, 25):
+        got = rl.cut(min_score=thr)
+        want = [r for r in rl if r.score >= thr]
+        assert list(got) == want, thr
+        for lim in (0, 3, 100):
+            assert list(rl.cut(min_score=thr, limit=lim)) == want[:lim]
+    assert list(rl.cut(limit=4)) == list(rl)[:4]
