@@ -66,6 +66,8 @@ from cobs_tpu.construct.compact import (
     compact_combine_into_compact,
 )
 from cobs_tpu.query.search import QueryError, Search, SearchResult
+from cobs_tpu.query.server import QueryServer
+from cobs_tpu.query.client import QueryClient
 
 __version__ = "0.1.0"
 
@@ -83,7 +85,9 @@ __all__ = [
     "compact_construct",
     "compact_construct_list",
     "compact_combine_into_compact",
+    "QueryClient",
     "QueryError",
+    "QueryServer",
     "Search",
     "SearchResult",
     "disable_cache",
