@@ -210,6 +210,8 @@ class QueryServer:
         self._conns: list[_Conn] = []
         self._lock = threading.Lock()
         self._stats = collections.Counter()
+        # rolling end-to-end (intake -> response enqueue) latencies, ms
+        self._lat = collections.deque(maxlen=4096)
         self._started = False
         self._closed = False
 
@@ -287,7 +289,10 @@ class QueryServer:
             now = time.monotonic()
             q = st.get("queries", 0)
             qps = (q - last_q) / max(now - last_t, 1e-9)
-            print(f"RESULT queries_per_s={qps:.1f} queries={q} "
+            p50, p99 = self._latency_ms()
+            lat = (f"lat_p50_ms={p50} lat_p99_ms={p99} "
+                   if p50 is not None else "")
+            print(f"RESULT queries_per_s={qps:.1f} {lat}queries={q} "
                   f"batches={st.get('batches', 0)} "
                   f"conns={len(self._conns)} "
                   f"query_errors={st.get('query_errors', 0)} "
@@ -330,6 +335,15 @@ class QueryServer:
     def _count(self, key, n=1):
         with self._lock:
             self._stats[key] += n
+
+    def _latency_ms(self):
+        """(p50, p99) over the rolling window, or (None, None)."""
+        samples = sorted(self._lat)
+        if not samples:
+            return None, None
+        n = len(samples)
+        return (round(samples[n // 2], 2),
+                round(samples[min(n - 1, int(n * 0.99))], 2))
 
     def _accept_loop(self):
         while True:
@@ -392,6 +406,10 @@ class QueryServer:
                                  "failed_reloads")}
             with self._lock:
                 st.update(self._stats)
+            p50, p99 = self._latency_ms()
+            if p50 is not None:
+                st["lat_p50_ms"] = p50
+                st["lat_p99_ms"] = p99
             st["id"] = rid
             conn.send(st)
             return
@@ -453,7 +471,7 @@ class QueryServer:
         if lim < 0:
             conn.send({"id": rid, "error": "num_results must be >= 0"})
             return
-        self._rq.put((conn, rid, query, thr, lim))
+        self._rq.put((conn, rid, query, thr, lim, time.monotonic()))
 
     # ----------------------------------------------------------- scorer
 
@@ -582,8 +600,10 @@ class QueryServer:
         ONLY their own item: a whole-batch retry would double-respond
         items already sent and desync the one-response-per-request
         protocol for every pipelined client on those connections."""
-        for (conn, rid, _q, thr, lim), qb, res in zip(items, qbytes,
-                                                      ranked):
+        now = time.monotonic()
+        for (conn, rid, _q, thr, lim, t0), qb, res in zip(items, qbytes,
+                                                          ranked):
+            self._lat.append((now - t0) * 1e3)
             try:
                 if isinstance(res, QueryError):
                     self._count("query_errors")

@@ -186,6 +186,11 @@ def test_protocol_errors_and_control(served):
     st = c.ask({"cmd": "stats", "id": 3})
     assert st["queries"] == 0 and st["batches"] == 0  # none scored
     assert st["bad_requests"] >= 2
+    assert "lat_p50_ms" not in st  # no samples yet
+    r = c.ask({"id": 4, "query": GOLDEN_QUERY})
+    assert r["results"]
+    st = c.ask({"cmd": "stats", "id": 5})
+    assert st["lat_p50_ms"] > 0 and st["lat_p99_ms"] >= st["lat_p50_ms"]
     c.close()
 
 
