@@ -431,6 +431,33 @@ def cmd_serve(argv):
     return 0
 
 
+def _scan_ones(path, offset: int, num_rows: int, row_bytes: int):
+    """Per-doc-slot set-bit counts over a row-major bitmap, streamed
+    in ~32 MB chunks (constant memory; unpacking a multi-GB payload
+    whole would cost 8x the file size in RAM)."""
+    import numpy as np
+
+    from cobs_tpu.fmt.magic import FileIOError
+
+    ones = np.zeros(8 * row_bytes, dtype=np.int64)
+    rows_per_chunk = max(1, (32 << 20) // max(1, row_bytes))
+    with open(path, "rb") as f:
+        f.seek(offset)
+        remaining = num_rows
+        while remaining:
+            n = min(rows_per_chunk, remaining)
+            chunk = np.fromfile(f, dtype=np.uint8,
+                                count=n * row_bytes)
+            if chunk.size != n * row_bytes:
+                raise FileIOError(
+                    f'truncated index payload in "{path}"')
+            ones += np.unpackbits(
+                chunk.reshape(n, row_bytes), axis=1,
+                bitorder="little").sum(axis=0, dtype=np.int64)
+            remaining -= n
+    return ones
+
+
 def cmd_info(argv):
     """Inspect an index file: header fields, geometry, sizes; --scan
     adds payload statistics (per-document set-bit ratio vs the
@@ -468,12 +495,21 @@ def cmd_info(argv):
         print(f"payload         "
               f"{format_iec(h.signature_size * h.row_size)}")
         if args.scan:
-            with open(path, "rb") as f:
-                f.seek(size - h.signature_size * h.row_size)
-                mat = np.fromfile(f, dtype=np.uint8).reshape(
-                    h.signature_size, h.row_size)
-            bits = np.unpackbits(mat, axis=1, bitorder="little")
-            ones = bits.sum(axis=0)
+            import io
+
+            buf = io.BytesIO()
+            h.serialize(buf)
+            hdr_len = buf.tell()
+            payload = h.signature_size * h.row_size
+            if hdr_len + payload != size:
+                raise FileIOError(
+                    f'corrupt classic index "{path}": header '
+                    f"{hdr_len} B + payload {payload} B != file "
+                    f"size {size} B")
+            # constant-memory scan: multi-GB payloads must not
+            # materialize an 8x unpacked copy
+            ones = _scan_ones(path, hdr_len, h.signature_size,
+                              h.row_size)
             ratio = ones / float(h.signature_size)
             n = len(h.file_names)
             print(f"ones ratio      min {ratio[:n].min():.6f} "
@@ -493,8 +529,12 @@ def cmd_info(argv):
         print(f"pages           {len(h.parameters)}")
         print(f"documents       {len(h.file_names)}")
         sigs = [p_.signature_size for p_ in h.parameters]
+        nhs = sorted({p_.num_hashes for p_ in h.parameters})
+        nh_txt = (f"uniform num_hashes {nhs[0]}" if len(nhs) == 1
+                  else f"num_hashes {nhs[0]}..{nhs[-1]} "
+                       "(NON-UNIFORM: unqueryable)")
         print(f"signature sizes {min(sigs)}..{max(sigs)} bits "
-              f"(uniform num_hashes {h.parameters[0].num_hashes})")
+              f"({nh_txt})")
         payload = sum(s * h.page_size for s in sigs)
         print(f"payload         {format_iec(payload)} "
               f"(starts page-aligned at {payload_off})")
@@ -503,16 +543,20 @@ def cmd_info(argv):
                   "TPU lane tile at query time; page_size >= 512 "
                   "queries up to 8x faster (docs/tutorial.md)")
         if args.scan:
-            _, mats = fco.read_compact_index(path)
-            doc = 0
-            worst = 0.0
-            for pg, (mat, prm) in enumerate(zip(mats, h.parameters)):
-                bits = np.unpackbits(mat, axis=1, bitorder="little")
+            if payload_off + payload != size:
+                raise FileIOError(
+                    f'corrupt compact index "{path}": header+padding '
+                    f"{payload_off} B + payload {payload} B != file "
+                    f"size {size} B")
+            doc, pos, worst = 0, payload_off, 0.0
+            for prm in h.parameters:
+                ones = _scan_ones(path, pos, prm.signature_size,
+                                  h.page_size)
+                pos += prm.signature_size * h.page_size
                 n_here = min(len(h.file_names) - doc, 8 * h.page_size)
-                ratio = bits.sum(axis=0)[:n_here] / float(
-                    prm.signature_size)
                 if n_here > 0:
-                    worst = max(worst, float(ratio.max()))
+                    worst = max(worst, float(
+                        (ones[:n_here] / prm.signature_size).max()))
                 doc += n_here
             print(f"ones ratio      max over pages {worst:.6f}")
     else:

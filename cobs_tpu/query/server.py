@@ -338,7 +338,8 @@ class QueryServer:
 
     def _latency_ms(self):
         """(p50, p99) over the rolling window, or (None, None)."""
-        samples = sorted(self._lat)
+        with self._lock:  # scorer extends concurrently
+            samples = sorted(self._lat)
         if not samples:
             return None, None
         n = len(samples)
@@ -601,9 +602,10 @@ class QueryServer:
         items already sent and desync the one-response-per-request
         protocol for every pipelined client on those connections."""
         now = time.monotonic()
-        for (conn, rid, _q, thr, lim, t0), qb, res in zip(items, qbytes,
-                                                          ranked):
-            self._lat.append((now - t0) * 1e3)
+        with self._lock:
+            self._lat.extend((now - it[5]) * 1e3 for it in items)
+        for (conn, rid, _q, thr, lim, _t0), qb, res in zip(
+                items, qbytes, ranked):
             try:
                 if isinstance(res, QueryError):
                     self._count("query_errors")

@@ -211,3 +211,14 @@ def test_info(classic_index, fasta_dir, tmp_path, capsys):
     assert "hint:" in out  # sub-512 B pages get the TPU sizing hint
 
     assert cli.main(["info", str(tmp_path / "nope.cobs_classic")]) == 1
+
+    # corruption detection: a truncated payload is an ERROR, never
+    # silently-wrong statistics
+    import shutil as _sh
+    trunc = tmp_path / "trunc.cobs_classic"
+    _sh.copy(classic_index, trunc)
+    with open(trunc, "r+b") as f:
+        f.truncate(trunc.stat().st_size - 50)
+    capsys.readouterr()
+    assert cli.main(["info", str(trunc), "--scan"]) == 1
+    assert "corrupt classic index" in capsys.readouterr().err
