@@ -105,22 +105,21 @@ def main():
            f"kmers={args.kmers} queries={args.queries} " \
            f"backend={'streamed' if args.streamed else 'device'}"
 
-    direct_qps = None
-    if not args.skip_direct:
-        s = open_search()
-        for _ in s.search_stream(warm, args.threshold, args.limit,
-                                 batch_size=args.batch):
-            pass
-        direct_qps = drive_direct(s, queries, args.threshold,
-                                  args.limit, args.batch)
-        print(f"RESULT mode=direct {base} "
-              f"queries_per_s={direct_qps:.1f}", flush=True)
-        del s
-
+    # ONE Search for both modes: a device index uploads to HBM once
+    # (minutes through a tunnel), and same-process comparison avoids
+    # the documented between-process chip-state drift
     s = open_search()
     for _ in s.search_stream(warm, args.threshold, args.limit,
                              batch_size=args.batch):
         pass
+
+    direct_qps = None
+    if not args.skip_direct:
+        direct_qps = drive_direct(s, queries, args.threshold,
+                                  args.limit, args.batch)
+        print(f"RESULT mode=direct {base} "
+              f"queries_per_s={direct_qps:.1f}", flush=True)
+
     served_qps = drive_served(s, queries, args.threshold, args.limit,
                               args.batch, args.clients, args.linger_ms)
     extra = ""
