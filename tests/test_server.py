@@ -286,6 +286,12 @@ def test_topk_serving_mode(index_file, tmp_path):
         # the device cap is the ceiling in top-k mode
         r = c.ask({"id": 2, "query": GOLDEN_QUERY, "num_results": 99})
         assert "error" in r
+        # per-request threshold composes with top-k (prefix cut on
+        # the k-candidate list)
+        r = c.ask({"id": 3, "query": GOLDEN_QUERY, "threshold": 0.8,
+                   "num_results": 5})
+        assert r["results"] == expected(direct, GOLDEN_QUERY, 0.8, 5)
+        assert r["results"] == [["sample1", 20]]
         c.close()
 
 
