@@ -295,6 +295,35 @@ def test_topk_serving_mode(index_file, tmp_path):
         c.close()
 
 
+def test_randomized_parity_with_direct(tmp_path, rng):
+    """Protocol-layer analog of test_backends_agree: random corpus,
+    random queries, several thresholds/limits — the served results
+    must equal the embedded Search exactly."""
+    from cobs_tpu.construct.classic import classic_construct_random
+    from cobs_tpu.query.client import QueryClient
+    from cobs_tpu.utils.misc import random_sequence_rng
+
+    idx = tmp_path / "rand.cobs_classic"
+    classic_construct_random(idx, signature_size=4096,
+                             num_documents=64, document_size=200,
+                             seed=11)
+    direct = cobs_tpu.Search(str(idx))
+    queries = [random_sequence_rng(int(rng.integers(40, 200)), rng)
+               for _ in range(32)]
+    srv = QueryServer(cobs_tpu.Search(str(idx)),
+                      unix_path=str(tmp_path / "rp.sock"),
+                      threshold=0.0, linger_ms=1.0, batch_size=8)
+    with srv:
+        with QueryClient(srv.address) as c:
+            for thr, lim in ((0.0, 0), (0.0, 7), (0.5, 0), (0.9, 3)):
+                got = c.search_batch(queries, threshold=thr,
+                                     num_results=lim or None)
+                want = direct.search_batch(queries, thr, lim)
+                for g, w in zip(got, want):
+                    assert [(r.doc_name, r.score) for r in g] == \
+                        [(r.doc_name, r.score) for r in w], (thr, lim)
+
+
 def test_tcp_endpoint_and_batching(index_file):
     s = cobs_tpu.Search(str(index_file))
     direct = cobs_tpu.Search(str(index_file))
