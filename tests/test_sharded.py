@@ -300,3 +300,27 @@ def test_benchmark_scaling_harness_smoke():
     assert set(r["per_n"]) == {1, 2}
     assert all(q > 0 for q in r["per_n"].values())
     assert r["efficiency"] is not None and r["efficiency"] > 0
+
+
+def test_search_stream_over_mesh_pipelined(classic_index):
+    """search_stream over a mesh (dispatch-ahead PendingSharded path)
+    must equal single-chip search_batch, full-rank and top-k, and
+    isolate an invalid query mid-stream."""
+    from cobs_tpu.query.search import QueryError, Search
+
+    mesh = make_mesh(n_batch=1, n_docs=4, devices=jax.devices()[:4])
+    s1 = Search(str(classic_index))
+    s2 = Search(str(classic_index), mesh=mesh)
+    queries = [GOLDEN_QUERY, GOLDEN_QUERY[3:], "ACGT",
+               GOLDEN_QUERY[:40]] * 2
+    for num_results in (0, 3):
+        want = s1.search_batch(
+            [q for q in queries if q != "ACGT"], 0.0, num_results)
+        got = list(s2.search_stream(iter(queries), 0.0, num_results,
+                                    batch_size=3))
+        good = [g for g in got if not isinstance(g, QueryError)]
+        assert sum(isinstance(g, QueryError) for g in got) == 2
+        assert len(good) == len(want)
+        for g, w in zip(good, want):
+            assert [(r.doc_name, r.score) for r in g] == \
+                [(r.doc_name, r.score) for r in w], num_results
