@@ -73,8 +73,9 @@ def drive_served(search, queries, threshold, limit, batch, clients,
         for t in threads:
             t.join()
         dt = time.perf_counter() - t0
+        p50, p99 = srv._latency_ms()
     assert sum(counts) == len(queries), (sum(counts), len(queries))
-    return len(queries) / dt
+    return len(queries) / dt, p50, p99
 
 
 def main():
@@ -120,15 +121,17 @@ def main():
         print(f"RESULT mode=direct {base} "
               f"queries_per_s={direct_qps:.1f}", flush=True)
 
-    served_qps = drive_served(s, queries, args.threshold, args.limit,
-                              args.batch, args.clients, args.linger_ms)
+    served_qps, p50, p99 = drive_served(
+        s, queries, args.threshold, args.limit, args.batch,
+        args.clients, args.linger_ms)
     extra = ""
     if direct_qps:
         extra = (f" overhead_pct="
                  f"{100 * (1 - served_qps / direct_qps):.1f}")
     print(f"RESULT mode=served {base} clients={args.clients} "
           f"linger_ms={args.linger_ms} "
-          f"queries_per_s={served_qps:.1f}{extra}", flush=True)
+          f"queries_per_s={served_qps:.1f} "
+          f"lat_p50_ms={p50} lat_p99_ms={p99}{extra}", flush=True)
 
 
 if __name__ == "__main__":
