@@ -109,7 +109,7 @@ def dma_gather_rows(matrix: jax.Array, rows: jax.Array,
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(n_steps,),
-                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
                 out_specs=pl.BlockSpec(
                     (G, W), lambda s, idx: (s, 0),
                     memory_space=pltpu.VMEM),
