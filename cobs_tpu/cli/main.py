@@ -371,6 +371,13 @@ def cmd_serve(argv):
                    metavar="SECS",
                    help="print a RESULT throughput/counter line every "
                         "SECS seconds (0 = off)")
+    p.add_argument("--stall-timeout", type=float, default=300.0,
+                   metavar="SECS",
+                   help="liveness breaker: when the scoring pipeline "
+                        "makes no progress for SECS (wedged device / "
+                        "long reload), answer NEW queries with an "
+                        "error instead of queueing them forever; "
+                        "default: 300, 0 disables")
     p.add_argument("--load-complete", action="store_true",
                    help="force the whole index into device HBM")
     p.add_argument("--streamed", action="store_true",
@@ -405,7 +412,8 @@ def cmd_serve(argv):
         factory(), unix_path=args.socket or None, host=args.host,
         port=args.port, batch_size=args.batch,
         linger_ms=args.linger_ms, threshold=args.threshold,
-        num_results=args.limit, search_factory=factory)
+        num_results=args.limit, search_factory=factory,
+        stall_timeout=args.stall_timeout)
     if args.warmup:
         server.warmup(args.warmup)
         print(f"WARM query_len={args.warmup}", flush=True)

@@ -175,11 +175,23 @@ class QueryServer:
         than overlapping a large HBM upload with dispatches, which
         wedges tunneled devices (CLAUDE.md H2D note) and would need
         2x HBM headroom on any device.
+    stall_timeout : liveness breaker, seconds (0 disables). A wedged
+        device backend blocks the scorer inside a dispatch or fetch
+        indefinitely (a remote-tunnel outage does exactly this); once
+        the scoring pipeline has made no progress for this long, NEW
+        query requests are answered immediately with a "server
+        stalled" error instead of queueing forever. Requests accepted
+        before the stall stay queued and are served when the device
+        recovers; control commands (ping/stats) keep working
+        throughout. Must exceed the slowest legitimate pause — a cold
+        jit compile or a full index reload (default 300 s covers the
+        observed worst cases on tunneled chips).
     """
 
     def __init__(self, search, *, unix_path=None, host="127.0.0.1",
                  port=0, batch_size=64, linger_ms=2.0, threshold=0.8,
-                 num_results=0, depth=2, search_factory=None):
+                 num_results=0, depth=2, search_factory=None,
+                 stall_timeout=300.0):
         if not (0.0 <= threshold <= 1.0):
             raise ValueError("threshold must be in [0, 1]")
         self.t_floor = float(threshold)
@@ -187,6 +199,11 @@ class QueryServer:
         self.batch_size = int(batch_size)
         self.linger_s = float(linger_ms) / 1e3
         self.depth = int(depth)
+        self.stall_timeout_s = float(stall_timeout)
+        # monotonic stamp of the scorer's latest progress; None = idle.
+        # Stale while the scorer is blocked inside device work (float
+        # read/write is atomic — intake reads it lock-free).
+        self._busy_since = None
         self._factory = search_factory
         self._bind_search(search if isinstance(search, Search)
                           else Search(search))
@@ -297,7 +314,8 @@ class QueryServer:
                   f"conns={len(self._conns)} "
                   f"query_errors={st.get('query_errors', 0)} "
                   f"bad_requests={st.get('bad_requests', 0)} "
-                  f"batch_failures={st.get('batch_failures', 0)}",
+                  f"batch_failures={st.get('batch_failures', 0)} "
+                  f"stalled={int(self._stall_seconds() > 0)}",
                   flush=True)  # stdout: the RESULT line protocol the
             # benchmark harness greps (cf. benchmark-fpr, timer.py)
             last_q, last_t = q, now
@@ -335,6 +353,17 @@ class QueryServer:
     def _count(self, key, n=1):
         with self._lock:
             self._stats[key] += n
+
+    def _stall_seconds(self) -> float:
+        """Seconds past the stall timeout the scorer has been blocked
+        without progress; 0.0 while healthy, idle, or disabled."""
+        if self.stall_timeout_s <= 0:
+            return 0.0
+        busy = self._busy_since
+        if busy is None:
+            return 0.0
+        blocked = time.monotonic() - busy
+        return blocked if blocked > self.stall_timeout_s else 0.0
 
     def _latency_ms(self):
         """(p50, p99) over the rolling window, or (None, None)."""
@@ -404,9 +433,10 @@ class QueryServer:
             st = {k: 0 for k in ("queries", "batches", "query_errors",
                                  "bad_requests", "batch_failures",
                                  "overflowed_connections", "reloads",
-                                 "failed_reloads")}
+                                 "failed_reloads", "stalled_rejects")}
             with self._lock:
                 st.update(self._stats)
+            st["stalled"] = self._stall_seconds() > 0
             p50, p99 = self._latency_ms()
             if p50 is not None:
                 st["lat_p50_ms"] = p50
@@ -472,6 +502,14 @@ class QueryServer:
         if lim < 0:
             conn.send({"id": rid, "error": "num_results must be >= 0"})
             return
+        stall = self._stall_seconds()
+        if stall > 0:
+            self._count("stalled_rejects")
+            conn.send({"id": rid, "error":
+                       f"server stalled: scoring pipeline blocked for "
+                       f"{stall:.0f}s (device stall or index reload); "
+                       "retry later"})
+            return
         self._rq.put((conn, rid, query, thr, lim, time.monotonic()))
 
     # ----------------------------------------------------------- scorer
@@ -525,8 +563,15 @@ class QueryServer:
         while True:
             items = []
             if not stopping and reload_req is None:
+                block = not inflight
+                if block:
+                    self._busy_since = None  # idle: nothing in flight
                 items, stopping, reload_req = \
-                    self._next_batch(block=not inflight)
+                    self._next_batch(block=block)
+            # every pass through here is progress; a scorer blocked
+            # inside a dispatch/fetch/reload below lets this stamp go
+            # stale, which intake reads as a stall (_stall_seconds)
+            self._busy_since = time.monotonic()
             if not items:
                 if inflight:
                     self._emit_safe(inflight.popleft())

@@ -594,3 +594,49 @@ def test_server_on_compact_and_federation(tmp_path):
             assert r["results"] == expected(fed_direct, GOLDEN_QUERY,
                                             thr)
         c.close()
+
+
+def test_stall_breaker_rejects_new_queries(served, monkeypatch):
+    """Liveness: when the scorer is blocked inside device work past
+    stall_timeout (a wedged remote backend does exactly this), NEW
+    queries get an immediate 'server stalled' error instead of
+    queueing forever; pre-stall requests still complete once the
+    device recovers, and health clears."""
+    import time
+
+    srv, direct = served
+    srv.stall_timeout_s = 0.3
+
+    c = Client(srv.address)
+    # warm: compiles + first-dispatch costs must not eat the timeout
+    r = c.ask({"id": "warm", "query": GOLDEN_QUERY})
+    assert r["results"]
+
+    gate = threading.Event()
+    orig = srv.search._finish_batch
+
+    def blocked_finish(*a, **kw):
+        assert gate.wait(60), "test gate never released"
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(srv.search, "_finish_batch", blocked_finish)
+    c.send({"id": "slow", "query": GOLDEN_QUERY})  # wedges the scorer
+    time.sleep(0.8)  # > stall_timeout past the scorer's last progress
+
+    c2 = Client(srv.address)
+    r = c2.ask({"id": "rejected", "query": GOLDEN_QUERY})
+    assert r["id"] == "rejected" and "stalled" in r["error"]
+    st = c2.ask({"cmd": "stats"})  # control plane stays live
+    assert st["stalled"] is True and st["stalled_rejects"] == 1
+
+    gate.set()  # device "recovers": the blocked fetch drains
+    r = c.recv()
+    assert r["id"] == "slow"
+    assert r["results"] == expected(direct, GOLDEN_QUERY)
+    deadline = time.monotonic() + 30
+    while c2.ask({"cmd": "stats"})["stalled"]:
+        assert time.monotonic() < deadline, "stall flag never cleared"
+        time.sleep(0.02)
+    r = c2.ask({"id": "after", "query": GOLDEN_QUERY})
+    assert r["results"] == expected(direct, GOLDEN_QUERY)
+    c.close(), c2.close()
