@@ -197,9 +197,15 @@ def _watchdog() -> None:
         print("bench: device attempt hung/failed; CPU fallback",
               file=sys.stderr)
         line = attempt(dict(base, COBS_BENCH_CPU="1"), 600.0)
+        if line is not None:
+            note = ("device unreachable (remote tunnel down); CPU "
+                    "smoke fallback, NOT the TPU number — see "
+                    "BASELINE.md round-3 measured results")
+            line = json.dumps({**json.loads(line), "note": note})
     if line is None:
         line = json.dumps({"metric": "query_throughput", "value": 0.0,
-                           "unit": "queries/s", "vs_baseline": 0.0})
+                           "unit": "queries/s", "vs_baseline": 0.0,
+                           "note": "no measurement possible"})
     print(line, flush=True)
 
 
