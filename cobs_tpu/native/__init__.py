@@ -30,16 +30,29 @@ _tried = False
 
 def _build() -> Path | None:
     src = _SRC.read_bytes()
-    tag = hashlib.sha256(src).hexdigest()[:16]
-    out = _HERE / f"_native_{tag}.so"
-    if out.exists():
-        return out
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           "-o", str(out) + ".tmp", str(_SRC)]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-    except (OSError, subprocess.SubprocessError) as e:
-        print(f"cobs_tpu: native build failed ({e}); "
+    # -march=native unlocks the vectorized scoring path (AVX-512BW /
+    # AVX2 bit->byte-lane expansion); safe because the .so is always
+    # compiled on the machine that runs it. Falls back to plain -O3 on
+    # compilers/arches that reject the flag.
+    flag_sets = [["-O3", "-march=native"], ["-O3"]]
+    err = None
+    for flags in flag_sets:
+        tag = hashlib.sha256(
+            src + b"\0" + " ".join(flags).encode()).hexdigest()[:16]
+        out = _HERE / f"_native_{tag}.so"
+        if out.exists():
+            return out
+        cmd = ["g++", *flags, "-shared", "-fPIC", "-std=c++17",
+               "-o", str(out) + ".tmp", str(_SRC)]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True,
+                           timeout=120)
+        except (OSError, subprocess.SubprocessError) as e:
+            err = e
+            continue
+        break
+    else:
+        print(f"cobs_tpu: native build failed ({err}); "
               "using NumPy fallback", file=sys.stderr)
         return None
     os.replace(str(out) + ".tmp", out)

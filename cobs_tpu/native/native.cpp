@@ -19,6 +19,10 @@
 #include <thread>
 #include <vector>
 
+#if defined(__AVX512BW__) || defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 constexpr uint64_t P1 = 0x9E3779B185EBCA87ULL;
@@ -351,55 +355,116 @@ void cobs_gather_rows(const uint8_t* base, int64_t row_bytes,
 // contributes nothing, so the term is skipped). out: i32
 // [B, P * 8 * row_bytes] zero-initialized by this kernel; page-major,
 // in-page document id = byte * 8 + bit (LSB-first bit layout).
+// One term's AND-mask accumulated into byte-lane counters.  acc holds
+// one uint8 slot per document bit (64 slots per row word, LSB-first:
+// slot = 8*byte + bit, matching the index bit layout).  The reference
+// expands bits through SSE2 half-byte lookup tables
+// (reference: cobs/query/classic_search.cpp:150-298); on modern x86 a
+// 64-bit mask expands to 64 byte lanes in one instruction
+// (AVX-512BW vpmovm2b), so a term costs 2 vector ops per 64 documents
+// instead of a data-dependent ctz chain per set bit.
+static inline void score_term_u8(uint8_t* acc, const uint8_t* const* rp,
+                                 int64_t h, int64_t row_bytes) {
+    int64_t words = row_bytes / 8;
+    int64_t i = 0;
+    for (; i < words; ++i) {
+        uint64_t w;
+        std::memcpy(&w, rp[0] + i * 8, 8);
+        for (int64_t j = 1; j < h; ++j) {
+            uint64_t w2;
+            std::memcpy(&w2, rp[j] + i * 8, 8);
+            w &= w2;
+        }
+        uint8_t* a = acc + i * 64;
+#if defined(__AVX512BW__)
+        __m512i v = _mm512_loadu_si512(a);
+        v = _mm512_sub_epi8(v, _mm512_movm_epi8(w));
+        _mm512_storeu_si512(a, v);
+#elif defined(__AVX2__)
+        // 32 bits per lane group: broadcast the word, pick each lane's
+        // source byte with pshufb, test its bit -> 0/FF, subtract.
+        const __m256i lane_byte = _mm256_setr_epi8(
+            0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1,
+            2, 2, 2, 2, 2, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 3);
+        const __m256i bit_sel = _mm256_setr_epi8(
+            1, 2, 4, 8, 16, 32, 64, -128, 1, 2, 4, 8, 16, 32, 64, -128,
+            1, 2, 4, 8, 16, 32, 64, -128, 1, 2, 4, 8, 16, 32, 64, -128);
+        for (int half = 0; half < 2; ++half) {
+            uint32_t w32 = static_cast<uint32_t>(w >> (32 * half));
+            __m256i v = _mm256_shuffle_epi8(
+                _mm256_set1_epi32(static_cast<int32_t>(w32)), lane_byte);
+            v = _mm256_cmpeq_epi8(_mm256_and_si256(v, bit_sel), bit_sel);
+            __m256i a32 = _mm256_loadu_si256(
+                reinterpret_cast<const __m256i*>(a + 32 * half));
+            _mm256_storeu_si256(reinterpret_cast<__m256i*>(a + 32 * half),
+                                _mm256_sub_epi8(a32, v));
+        }
+#else
+        uint8_t* s8 = a;
+        while (w) {
+            s8[__builtin_ctzll(w)]++;
+            w &= w - 1;
+        }
+#endif
+    }
+    // tail bytes (row_bytes % 8): zero-extend into one word; mask bits
+    // past the row end are zero so the extra acc slots never increment
+    if (int64_t rem = row_bytes - words * 8) {
+        uint64_t w = 0;
+        std::memcpy(&w, rp[0] + words * 8, rem);
+        for (int64_t j = 1; j < h; ++j) {
+            uint64_t w2 = 0;
+            std::memcpy(&w2, rp[j] + words * 8, rem);
+            w &= w2;
+        }
+        uint8_t* s8 = acc + words * 64;
+        while (w) {
+            s8[__builtin_ctzll(w)]++;
+            w &= w - 1;
+        }
+    }
+}
+
 void cobs_score_batch(const uint8_t* base, int64_t row_bytes,
                       const int64_t* rows, int64_t B, int64_t T,
                       int64_t h, int64_t P, int64_t zero_id,
                       int32_t* out, int32_t num_threads) {
     const int64_t page_slots = 8 * row_bytes;
+    // byte-lane counters cap at 255 term hits, so terms stream in
+    // <=255-term chunks widened into the int32 scores between chunks
+    // (the reference's u8/u16/u32 score-width tiering, applied to the
+    // accumulator instead of the output)
+    const int64_t CHUNK = 255;
+    const int64_t acc_len = ((row_bytes + 7) / 8) * 64;  // 64B/word slack
     auto work = [&](int64_t b_lo, int64_t b_hi) {
         std::vector<const uint8_t*> rp(static_cast<size_t>(h));
+        std::vector<uint8_t> acc(static_cast<size_t>(acc_len));
         for (int64_t b = b_lo; b < b_hi; ++b) {
             int32_t* out_b = out + b * P * page_slots;
             std::memset(out_b, 0,
                         static_cast<size_t>(P * page_slots) * 4);
             const int64_t* rb = rows + b * T * h * P;
-            for (int64_t t = 0; t < T; ++t) {
-                for (int64_t p = 0; p < P; ++p) {
-                    bool pad = false;
-                    for (int64_t j = 0; j < h; ++j) {
-                        int64_t r = rb[(t * h + j) * P + p];
-                        if (r == zero_id) { pad = true; break; }
-                        rp[static_cast<size_t>(j)] =
-                            base + r * row_bytes;
-                    }
-                    if (pad) continue;
-                    int32_t* sc = out_b + p * page_slots;
-                    int64_t i = 0;
-                    for (; i + 8 <= row_bytes; i += 8) {
-                        uint64_t w;
-                        std::memcpy(&w, rp[0] + i, 8);
-                        for (int64_t j = 1; j < h; ++j) {
-                            uint64_t w2;
-                            std::memcpy(&w2, rp[static_cast<size_t>(j)]
-                                        + i, 8);
-                            w &= w2;
+            for (int64_t p = 0; p < P; ++p) {
+                int32_t* sc = out_b + p * page_slots;
+                for (int64_t t0 = 0; t0 < T; t0 += CHUNK) {
+                    int64_t t1 = t0 + CHUNK < T ? t0 + CHUNK : T;
+                    std::memset(acc.data(), 0,
+                                static_cast<size_t>(acc_len));
+                    for (int64_t t = t0; t < t1; ++t) {
+                        bool pad = false;
+                        for (int64_t j = 0; j < h; ++j) {
+                            int64_t r = rb[(t * h + j) * P + p];
+                            if (r == zero_id) { pad = true; break; }
+                            rp[static_cast<size_t>(j)] =
+                                base + r * row_bytes;
                         }
-                        int32_t* s8 = sc + i * 8;
-                        while (w) {
-                            s8[__builtin_ctzll(w)]++;
-                            w &= w - 1;
-                        }
+                        if (pad) continue;
+                        score_term_u8(acc.data(), rp.data(), h,
+                                      row_bytes);
                     }
-                    for (; i < row_bytes; ++i) {
-                        uint32_t v = rp[0][i];
-                        for (int64_t j = 1; j < h; ++j)
-                            v &= rp[static_cast<size_t>(j)][i];
-                        int32_t* s8 = sc + i * 8;
-                        while (v) {
-                            s8[__builtin_ctz(v)]++;
-                            v &= v - 1;
-                        }
-                    }
+                    const uint8_t* a = acc.data();
+                    for (int64_t i = 0; i < page_slots; ++i)
+                        sc[i] += a[i];
                 }
             }
         }
