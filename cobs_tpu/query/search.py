@@ -556,7 +556,19 @@ class Search:
 
         num_results = min(num_results, scores.size)
         if scores.size:
-            order = np.lexsort((gidx, -scores.astype(np.int64)))
+            # gidx is ascending by construction (per-index doc ids +
+            # increasing order_base), so a STABLE sort on score alone
+            # breaks ties by position = (index id, doc id) asc — the
+            # reference tie order. Negated scores fit int16 whenever
+            # the query has < 32768 terms, which selects NumPy's radix
+            # path: measured 5.4x over the 2-key lexsort at 10k docs
+            # (the full-ranking serving bottleneck once scoring was
+            # vectorized).
+            if int(scores.max()) < 32768:
+                order = np.argsort((-scores).astype(np.int16),
+                                   kind="stable")
+            else:
+                order = np.lexsort((gidx, -scores.astype(np.int64)))
             order = order[:num_results]
         else:
             order = np.empty(0, dtype=np.int64)

@@ -18,14 +18,16 @@ from cobs_tpu.native import lib, _ptr8
 import ctypes
 
 
-def bench(B=64, T=1000, docs=10_000, h=1, density=0.3, iters=5):
+def bench(B=64, T=1000, docs=10_000, h=1, density=0.3, iters=5,
+          sig_log2=18, file_backed=0):
     L = lib()
     assert L is not None, "native library unavailable"
     rng = np.random.default_rng(7)
     row_bytes = (docs + 7) // 8
     # 2^18 rows x row_bytes comfortably exceeds L3, so gathers hit
-    # DRAM like the real 2.6 GB index while staying cheap to generate
-    sig = 1 << 18
+    # DRAM; sig_log2=21 reproduces the full 2.6 GB serving index
+    # (TLB/page-walk costs included) at the price of slower setup
+    sig = 1 << sig_log2
     shape = (sig + 1, row_bytes)
     # per-bit density ~0.5^n via AND of n random byte planes; pick n so
     # the AND of h gathered rows lands near the requested density
@@ -36,6 +38,21 @@ def bench(B=64, T=1000, docs=10_000, h=1, density=0.3, iters=5):
         payload &= rng.integers(0, 256, size=shape, dtype=np.uint8)
     payload[sig] = 0  # zero row
     zero_id = sig
+    if file_backed:
+        # serving reality check: StreamedIndex scores through a
+        # file-backed mmap (4 KiB pages, no THP) — anonymous test
+        # buffers get transparent hugepages and understate TLB cost
+        import mmap
+        import tempfile
+
+        tf = tempfile.NamedTemporaryFile(dir="/tmp", delete=False)
+        payload.tofile(tf)
+        tf.flush()
+        mm = mmap.mmap(tf.fileno(), 0, prot=mmap.PROT_READ)
+        warmed = np.frombuffer(mm, dtype=np.uint8).reshape(payload.shape)
+        # touch one byte per 4 KiB page: fully warm page cache
+        int(warmed.reshape(-1)[::4096].astype(np.int64).sum())
+        payload = warmed
     rows = rng.integers(0, sig, size=(B, T, h, 1)).astype(np.int64)
     out = np.zeros((B, 8 * row_bytes), dtype=np.int32)
 
@@ -55,5 +72,5 @@ def bench(B=64, T=1000, docs=10_000, h=1, density=0.3, iters=5):
 
 
 if __name__ == "__main__":
-    args = [int(a) for a in sys.argv[1:]]
+    args = [float(a) if "." in a else int(a) for a in sys.argv[1:]]
     bench(*args)
