@@ -136,3 +136,56 @@ def test_window_rows_large_k(rng):
     want = (xxh64_multi_seed(np.ascontiguousarray(cw), 3)
             % np.uint64(sig)).ravel()
     np.testing.assert_array_equal(rows, want)
+
+
+def _score_oracle(payload, rows, zero_id):
+    """NumPy reference for cobs_score_batch: per (b, t, p) AND the h
+    gathered rows, add each bit (LSB-first) to its doc slot; padding
+    terms (any row == zero_id) contribute nothing."""
+    B, T, h, P = rows.shape
+    row_bytes = payload.shape[1]
+    out = np.zeros((B, P * 8 * row_bytes), dtype=np.int32)
+    for b in range(B):
+        for t in range(T):
+            for p in range(P):
+                r = rows[b, t, :, p]
+                if (r == zero_id).any():
+                    continue
+                w = payload[r[0]]
+                for j in range(1, h):
+                    w = w & payload[r[j]]
+                bits = np.unpackbits(w, bitorder="little")
+                sl = out[b, p * 8 * row_bytes:(p + 1) * 8 * row_bytes]
+                sl += bits
+    return out
+
+
+@pytest.mark.parametrize("row_bytes,T,h,P", [
+    (3, 17, 1, 1),     # tail-only rows (docs < 64): scalar path
+    (8, 255, 1, 1),    # exactly one SIMD word, exactly one term chunk
+    (13, 256, 2, 1),   # word + tail, chunk boundary crossed by 1
+    (40, 600, 3, 1),   # multi-word, multi-chunk, h > 1
+    (9, 300, 1, 3),    # multi-page with per-page padding terms
+])
+def test_score_batch_kernel_matches_oracle(rng, row_bytes, T, h, P):
+    """Direct kernel-vs-oracle check across the shapes that select the
+    kernel's distinct code paths: the 64-bit SIMD lane loop, the
+    sub-word tail, the <=255-term accumulator chunking, and padding
+    terms. The e2e suites only reach this kernel through tiny corpora
+    (row_bytes 1-3) or benchmark-scale ones, so the word/tail/chunk
+    edges need a dedicated oracle."""
+    sig = 211
+    payload = rng.integers(0, 256, size=(sig + 1, row_bytes),
+                           dtype=np.uint8)
+    payload[sig] = 0
+    B = 5
+    rows = rng.integers(0, sig, size=(B, T, h, P)).astype(np.int64)
+    # sprinkle padding terms: whole-term pads and single-hash pads
+    pad = rng.random(size=(B, T, 1, P)) < 0.05
+    rows = np.where(pad, np.int64(sig), rows)
+    if h > 1:
+        pad1 = rng.random(size=(B, T, h, P)) < 0.02
+        rows = np.where(pad1, np.int64(sig), rows)
+    got = native.score_batch_host(payload, row_bytes, rows, sig, 2)
+    assert got is not None
+    np.testing.assert_array_equal(got, _score_oracle(payload, rows, sig))
