@@ -417,18 +417,26 @@ def classic_construct_random(out_file, signature_size: int = 2 * 1024 * 1024,
     # groups never race; within a group the docs run serially. The
     # native hashing kernel releases the GIL, so a thread pool gives
     # real parallelism (same scheme as classic_construct_from_documents).
+    from cobs_tpu import native
+
     def do_octet(g, seed_g):
         grng = np.random.default_rng(seed_g)
         for i in range(8 * g, min(8 * g + 8, num_documents)):
-            packed = kmer_codec.random_packed(document_size, term_size,
-                                              grng)
-            windows = kmer_codec.decode(packed, term_size)
-            # canonicalization happens inside doc_row_indices
-            # (canonicalize=1) — in native C++ when available;
-            # canonicalize() is idempotent so pre-canonicalizing the
-            # packed k-mers here would only repeat the work in Python
-            rows, _ = doc_row_indices(windows, signature_size,
-                                      num_hashes, 1)
+            # fused native path: generate+canonicalize+hash+mod in one
+            # C++ pass (no packed->string decode in Python) — ~5x; the
+            # fallback reproduces the same semantics via the generic
+            # window pipeline (different PRNG stream, same statistics)
+            rows = native.random_rows(
+                int(grng.integers(0, 1 << 62)), document_size,
+                term_size, num_hashes, signature_size)
+            if rows is None:
+                packed = kmer_codec.random_packed(document_size,
+                                                  term_size, grng)
+                windows = kmer_codec.decode(packed, term_size)
+                # canonicalization happens inside doc_row_indices
+                # (canonicalize=1) — in native C++ when available
+                rows, _ = doc_row_indices(windows, signature_size,
+                                          num_hashes, 1)
             set_bits(data, rows, i)
 
     n_groups = -(-num_documents // 8)

@@ -102,6 +102,9 @@ def lib():
                 L.cobs_window_hashes.argtypes = [p8, i64, i64, i64, i32,
                                                  pu64]
                 L.cobs_window_hashes.restype = i32
+                L.cobs_random_rows.argtypes = [u64, i64, i64, i64, u64,
+                                               pu64]
+                L.cobs_random_rows.restype = i32
                 L.cobs_set_bits.argtypes = [p8, i64, pu64, i64, i64]
                 L.cobs_set_bits.restype = None
                 pi64 = ctypes.POINTER(ctypes.c_int64)
@@ -162,6 +165,25 @@ def window_rows(windows, num_hashes: int, sig_size: int,
                                  sig_size, canonical, _ptr64(out),
                                  threads)
     return out, bool(good)
+
+
+def random_rows(seed: int, n: int, k: int, num_hashes: int,
+                sig_size: int):
+    """Fused random-document rows for classic_construct_random:
+    generate n random k-mers (splitmix64 stream from `seed`),
+    canonicalize, hash, mod — entirely in C++. Returns u64
+    [n*num_hashes] or None when unavailable (or k > 32, which the
+    one-draw-per-term PRNG scheme cannot cover)."""
+    import numpy as np
+
+    L = lib()
+    if L is None or not (1 <= k <= 32):
+        return None
+    out = np.empty(n * num_hashes, dtype=np.uint64)
+    if not L.cobs_random_rows(seed & (2**64 - 1), n, k, num_hashes,
+                              sig_size, _ptr64(out)):
+        return None
+    return out
 
 
 def window_hashes(windows, num_hashes: int, canonical: int):

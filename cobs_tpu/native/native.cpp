@@ -275,6 +275,39 @@ int32_t cobs_window_rows_mt(const uint8_t* windows, int64_t n, int64_t k,
     return all_good;
 }
 
+// Fused synthetic-document hot path for classic_construct_random
+// (reference analog: cobs/construction/classic_index random driver,
+// src/cobs.cpp:243-291): generate n random k-mers, canonicalize, hash
+// num_hashes seeds, mod by sig_size — no Python-side k-mer decode or
+// window materialization. PRNG: splitmix64 over (seed + term index),
+// 2 bits per letter, so one 64-bit draw covers k <= 32 and the stream
+// is reproducible from the seed alone (documented deviation from the
+// reference's std::mt19937: statistically, not bitwise, equivalent).
+int32_t cobs_random_rows(uint64_t seed, int64_t n, int64_t k,
+                         int64_t num_hashes, uint64_t sig_size,
+                         uint64_t* out_rows) {
+    if (k < 1 || k > 32) return 0;  // one draw per term; plenty for DNA
+    static const uint8_t kLetters[4] = {'A', 'C', 'G', 'T'};
+    std::vector<uint8_t> kmer(static_cast<size_t>(k));
+    std::vector<uint8_t> canon(static_cast<size_t>(k));
+    for (int64_t t = 0; t < n; ++t) {
+        // splitmix64 finalizer (public domain algorithm)
+        uint64_t z = seed + static_cast<uint64_t>(t) *
+                     0x9E3779B97F4A7C15ULL + 0x9E3779B97F4A7C15ULL;
+        z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+        z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+        z ^= z >> 31;
+        for (int64_t i = 0; i < k; ++i)
+            kmer[static_cast<size_t>(i)] = kLetters[(z >> (2 * i)) & 3];
+        canonicalize(kmer.data(), k, canon.data());
+        for (int64_t j = 0; j < num_hashes; ++j)
+            out_rows[t * num_hashes + j] =
+                xxh64(canon.data(), static_cast<size_t>(k),
+                      static_cast<uint64_t>(j)) % sig_size;
+    }
+    return 1;
+}
+
 // Raw (un-modded) hashes for the query path (hashes are modded per page
 // for compact indices): out [n * num_hashes] u64, term-major.
 int32_t cobs_window_hashes(const uint8_t* windows, int64_t n, int64_t k,

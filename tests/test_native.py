@@ -189,3 +189,27 @@ def test_score_batch_kernel_matches_oracle(rng, row_bytes, T, h, P):
     got = native.score_batch_host(payload, row_bytes, rows, sig, 2)
     assert got is not None
     np.testing.assert_array_equal(got, _score_oracle(payload, rows, sig))
+
+
+def test_random_rows_matches_numpy_oracle():
+    """The fused random-document generator must equal the same
+    splitmix64 stream decoded + canonicalized + hashed by the NumPy
+    reference kernels (locks the PRNG contract: one draw per term,
+    2 bits per letter, LSB-first)."""
+    seed, n, k, h, sig = 0xC0B5, 500, 31, 3, 99991
+    got = native.random_rows(seed, n, k, h, sig)
+    assert got is not None
+
+    g = np.uint64(0x9E3779B97F4A7C15)
+    z = (np.uint64(seed) + (np.arange(1, n + 1, dtype=np.uint64)) * g)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    shifts = (np.uint64(2) * np.arange(k, dtype=np.uint64))[None, :]
+    codes = ((z[:, None] >> shifts) & np.uint64(3)).astype(np.uint8)
+    letters = np.frombuffer(b"ACGT", np.uint8)[codes]
+    cw, good = canonicalize_batch(letters)
+    assert good.all()
+    want = (xxh64_multi_seed(np.ascontiguousarray(cw), h)
+            % np.uint64(sig)).ravel()
+    np.testing.assert_array_equal(got, want)
