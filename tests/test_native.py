@@ -213,3 +213,46 @@ def test_random_rows_matches_numpy_oracle():
     want = (xxh64_multi_seed(np.ascontiguousarray(cw), h)
             % np.uint64(sig)).ravel()
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("isa_flags", [
+    ["-O3", "-mno-avx512f", "-mavx2"],   # AVX2 pshufb expansion path
+    ["-O3", "-mno-avx", "-mno-avx2"],    # scalar ctz fallback path
+])
+def test_score_batch_isa_variants_match(tmp_path, rng, isa_flags):
+    """The scoring kernel has three ISA paths (AVX-512BW vpmovm2b,
+    AVX2 pshufb, scalar ctz) selected at compile time; a host with
+    AVX-512 never executes the other two. Build each variant
+    explicitly and check it against the NumPy oracle so all paths stay
+    bit-exact regardless of the deploy machine."""
+    import ctypes
+    import subprocess
+
+    so = tmp_path / "variant.so"
+    try:
+        subprocess.run(
+            ["g++", *isa_flags, "-shared", "-fPIC", "-std=c++17",
+             "-o", str(so), str(native._SRC)],
+            check=True, capture_output=True, timeout=120)
+    except (OSError, subprocess.SubprocessError):
+        pytest.skip("variant toolchain unavailable")
+    L = ctypes.CDLL(str(so))
+    i64, u64, i32 = ctypes.c_int64, ctypes.c_uint64, ctypes.c_int32
+    p8 = ctypes.POINTER(ctypes.c_uint8)
+    pi64 = ctypes.POINTER(ctypes.c_int64)
+    pi32 = ctypes.POINTER(ctypes.c_int32)
+    L.cobs_score_batch.argtypes = [p8, i64, pi64, i64, i64, i64, i64,
+                                   i64, pi32, i32]
+    L.cobs_score_batch.restype = None
+
+    sig, row_bytes, B, T, h, P = 211, 13, 3, 300, 2, 1
+    payload = rng.integers(0, 256, size=(sig + 1, row_bytes),
+                           dtype=np.uint8)
+    payload[sig] = 0
+    rows = rng.integers(0, sig, size=(B, T, h, P)).astype(np.int64)
+    out = np.empty((B, P * 8 * row_bytes), dtype=np.int32)
+    L.cobs_score_batch(
+        payload.ctypes.data_as(p8), row_bytes,
+        rows.ctypes.data_as(pi64), B, T, h, P, sig,
+        out.ctypes.data_as(pi32), 2)
+    np.testing.assert_array_equal(out, _score_oracle(payload, rows, sig))
