@@ -95,10 +95,17 @@ class QueryClient:
             req["num_results"] = num_results
         with self._lock:
             ids = []
+            lines = []
             for q in queries:
                 rid = next(self._ids)
-                self._send({"id": rid, "query": q, **req})
+                lines.append(json.dumps({"id": rid, "query": q, **req}))
                 ids.append(rid)
+            if lines:
+                # one write for the whole pipeline burst: per-request
+                # sendall syscalls measurably bound served throughput
+                # once scoring is fast (the server reads line-by-line
+                # regardless, so the bytes are identical)
+                self._sock.sendall(("\n".join(lines) + "\n").encode())
             by_id = {}
             for _ in ids:
                 resp = self._recv()

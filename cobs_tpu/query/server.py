@@ -93,14 +93,31 @@ class _Conn:
             self.close()
 
     def _write_loop(self):
-        while True:
+        stop = False
+        while not stop:
             obj = self._outq.get()
             if obj is _STOP:
                 break
+            # coalesce everything already queued into one write: a
+            # scored batch enqueues its responses back-to-back, and
+            # per-response sendall syscalls + thread wakeups measurably
+            # bound served throughput once scoring is fast
+            batch = [obj]
+            while len(batch) < 512:
+                try:
+                    nxt = self._outq.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is _STOP:
+                    stop = True
+                    break
+                batch.append(nxt)
             if not self.alive:
                 continue  # drain without sending; producers never block
+            payload = "".join(
+                json.dumps(o) + "\n" for o in batch).encode()
             try:
-                self.sock.sendall((json.dumps(obj) + "\n").encode())
+                self.sock.sendall(payload)
             except OSError:
                 self.alive = False
         try:
