@@ -34,7 +34,8 @@ def test_xxh64_batch_matches_numpy(rng, length):
 
 
 @pytest.mark.parametrize("canonical", [0, 1])
-@pytest.mark.parametrize("k", [4, 19, 31])
+# 63/64/65 straddle the SIMD canonicalization's one-vector limit
+@pytest.mark.parametrize("k", [1, 2, 4, 19, 31, 63, 64, 65])
 def test_window_rows_matches_numpy(rng, canonical, k):
     windows = _random_windows(rng, 500, k)
     sig, h = 99991, 3
@@ -256,3 +257,18 @@ def test_score_batch_isa_variants_match(tmp_path, rng, isa_flags):
         rows.ctypes.data_as(pi64), B, T, h, P, sig,
         out.ctypes.data_as(pi32), 2)
     np.testing.assert_array_equal(out, _score_oracle(payload, rows, sig))
+
+    # canonicalization also has per-ISA paths (AVX-512VBMI vs scalar);
+    # check the variant's window hashing against the NumPy kernels,
+    # including invalid letters (they map to 0 in the compare)
+    pu64 = ctypes.POINTER(ctypes.c_uint64)
+    L.cobs_window_rows.argtypes = [p8, i64, i64, i64, u64, i32, pu64]
+    L.cobs_window_rows.restype = i32
+    windows = _random_windows(rng, 200, 31, alphabet=b"ACGTN")
+    wrows = np.empty(200, dtype=np.uint64)
+    L.cobs_window_rows(windows.ctypes.data_as(p8), 200, 31, 1,
+                       99991, 1, wrows.ctypes.data_as(pu64))
+    cw, _ = canonicalize_batch(windows)
+    want = (xxh64_multi_seed(np.ascontiguousarray(cw), 1)
+            % np.uint64(99991)).ravel()
+    np.testing.assert_array_equal(wrows, want)
