@@ -245,22 +245,71 @@ int32_t cobs_sequence_rows(const uint8_t* seq, int64_t seq_len, int64_t k,
                            int64_t num_hashes, uint64_t sig_size,
                            int32_t canonical, uint64_t* out_rows) {
     int all_good = 1;
-    // buffer sized to the term (k is CLI-controlled and unbounded; a
-    // fixed stack buffer would overflow for k > its size; the SIMD
-    // path's masked store writes exactly k bytes)
-    std::vector<uint8_t> buf(canonical ? static_cast<size_t>(k) : 0);
-    const CanonCtx ctx(k);
     const int64_t n = seq_len - k + 1;
+    if (!canonical) {
+        for (int64_t t = 0; t < n; ++t)
+            for (int64_t j = 0; j < num_hashes; ++j)
+                out_rows[t * num_hashes + j] =
+                    xxh64(seq + t, static_cast<size_t>(k),
+                          static_cast<uint64_t>(j)) % sig_size;
+        return all_good;
+    }
+    // Sliding windows are substrings, so every window's canonical form
+    // is a contiguous slice of one of two precomputed buffers: the
+    // forward-mapped sequence cs (identity on ACGT, 0 on invalid —
+    // the same invalid-as-0 semantics as kMaps) and the
+    // reverse-complement-mapped sequence rcc (window t's reverse
+    // complement = rcc + (seq_len - t - k)). The per-window work drops
+    // to the truncated-half compare + in-place hash: no per-window
+    // canonicalize copy at all.
+    std::vector<uint8_t> cs(static_cast<size_t>(seq_len));
+    std::vector<uint8_t> rcc(static_cast<size_t>(seq_len));
+    for (int64_t i = 0; i < seq_len; ++i) {
+        cs[static_cast<size_t>(i)] = kMaps.fwd[seq[i]];
+        rcc[static_cast<size_t>(i)] = kMaps.rev[seq[seq_len - 1 - i]];
+    }
+    // sliding invalid-letter counter for the per-window `good` check
+    int64_t zeros = 0;
+    for (int64_t i = 0; i < k; ++i)
+        zeros += (cs[static_cast<size_t>(i)] == 0);
+    const int64_t half = k / 2;
+#if COBS_CANON_SIMD
+    const __mmask64 halfmask =
+        half >= 64 ? ~0ULL : (half > 0 ? ((1ULL << half) - 1) : 0ULL);
+#endif
     for (int64_t t = 0; t < n; ++t) {
-        const uint8_t* term = seq + t;
-        if (canonical) {
-            all_good &= canonicalize_ctx(ctx, term, k, buf.data());
-            term = buf.data();
+        const uint8_t* f = cs.data() + t;
+        const uint8_t* r = rcc.data() + (seq_len - t - k);
+        int use_reverse = 0;
+#if COBS_CANON_SIMD
+        if (half <= 64) {
+            __mmask64 ne = _mm512_cmpneq_epi8_mask(
+                               _mm512_maskz_loadu_epi8(halfmask, f),
+                               _mm512_maskz_loadu_epi8(halfmask, r)) &
+                           halfmask;
+            if (ne) {
+                int i = __builtin_ctzll(ne);
+                use_reverse = f[i] > r[i];
+            }
+        } else
+#endif
+        {
+            for (int64_t i = 0; i < half; ++i) {
+                if (f[i] != r[i]) {
+                    use_reverse = f[i] > r[i];
+                    break;
+                }
+            }
         }
+        const uint8_t* term = use_reverse ? r : f;
+        all_good &= (zeros == 0);
         for (int64_t j = 0; j < num_hashes; ++j)
             out_rows[t * num_hashes + j] =
                 xxh64(term, static_cast<size_t>(k),
                       static_cast<uint64_t>(j)) % sig_size;
+        if (t + 1 < n)
+            zeros += (cs[static_cast<size_t>(t + k)] == 0) -
+                     (cs[static_cast<size_t>(t)] == 0);
     }
     return all_good;
 }
