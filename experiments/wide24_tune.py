@@ -1,0 +1,126 @@
+"""Focused (Bs, tc) tune at the 24 KB-row shape (sig=2^17, W=6144).
+
+width_sweep.py (post batch-tiling) measured this shape at 84 GB/s e2e
+while its neighbors reached 118 (6 KB) and 140 (96 KB) — all three run
+the same ~34 MB fused chunk under the production planner, so either the
+planner's (Bs=4, tc=342) choice is off for this aspect ratio or the
+gather itself dips here. Variants:
+
+  gather      - jnp.take + u32 fold, no count (the shape's ceiling)
+  BsX/tcY     - the production _gather_count_block over explicit
+                sub-batches: lax.map over B//X sub-batches, term axis
+                scanned in Y-term chunks
+
+Protocol (CLAUDE.md): differenced lax.scan lengths, round-robin over
+variants x ROUNDS, per-variant best. Run on the real chip, idle host.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cobs_tpu.query.engine import _bucket, _gather_count_block
+
+B, T, H = 64, 1000, 1
+T_PAD = _bucket(T)
+ROUNDS = 4
+LG_SIG, W = 17, 6144           # 24 KB rows, ~196k docs
+GRID = [(2, 342), (4, 342), (8, 342),
+        (4, 256), (8, 256),
+        (2, 512), (4, 512), (8, 512)]
+
+
+def make_scan(step):
+    @jax.jit
+    def multi(m, idxs):
+        def body(c, idx):
+            return c, step(m, idx)
+        return lax.scan(body, 0, idxs)[1]
+    return multi
+
+
+def gather_step_fold(m, idx):
+    rows = idx[..., 0, 0]                       # [B, T_PAD]
+    g = jnp.take(m, rows, axis=0)               # [B, T_PAD, W]
+    # cheap data-dependent fold (sum), forces the full gather
+    return jnp.sum(g, axis=(1, 2), dtype=jnp.uint32).astype(jnp.int32)
+
+
+def block_step(Bs, tc):
+    def step(m, idx):
+        # pad T to a multiple of tc with the zero row
+        pad = (-T_PAD) % tc
+        if pad:
+            idx = jnp.concatenate([
+                idx, jnp.full((B, pad, H, 1), m.shape[0] - 1,
+                              jnp.int32)], axis=1)
+        sub = idx.reshape(B // Bs, Bs, T_PAD + pad, H, 1)
+        out = lax.map(
+            lambda rs: _gather_count_block(m, rs, H, tc), sub)
+        return out.reshape(B, -1).sum(axis=1)
+    return step
+
+
+def main():
+    dev = jax.devices()[0]
+    sig = 1 << LG_SIG
+    print(f"wide24_tune: {dev.device_kind} sig={sig} W={W} "
+          f"B={B} T={T}->{T_PAD}", flush=True)
+    rng = np.random.default_rng(0xC0B5)
+    matrix = jax.jit(lambda k: jax.random.bits(
+        k, (sig + 1, W), dtype=jnp.uint32).at[-1].set(0))(
+        jax.random.key(7))
+    jax.block_until_ready(matrix)
+
+    def make(K):
+        return jnp.asarray(rng.integers(
+            0, sig, size=(K, B, T_PAD),
+            dtype=np.int64).astype(np.int32)[..., None, None])
+
+    k_small, k_large = 2, 6
+    idxs_s, idxs_l = make(k_small), make(k_large)
+    iters = k_large - k_small
+
+    variants = {"gather": make_scan(gather_step_fold)}
+    for Bs, tc in GRID:
+        variants[f"Bs{Bs}/tc{tc}"] = make_scan(block_step(Bs, tc))
+
+    recs = {}
+    for name, f in variants.items():
+        t0 = time.perf_counter()
+        np.asarray(f(matrix, idxs_s))
+        np.asarray(f(matrix, idxs_l))
+        print(f"  compiled {name} ({time.perf_counter()-t0:.0f}s)",
+              flush=True)
+        recs[name] = [f, float("inf"), float("inf")]
+
+    for r in range(ROUNDS):
+        for name, rec in recs.items():
+            f = rec[0]
+            t0 = time.perf_counter()
+            np.asarray(f(matrix, idxs_s))
+            rec[1] = min(rec[1], time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            np.asarray(f(matrix, idxs_l))
+            rec[2] = min(rec[2], time.perf_counter() - t0)
+        print(f"  round {r+1}/{ROUNDS} done", flush=True)
+
+    print(f"{'variant':>12}     q/s    GB/s")
+    for name, (f, bs, bl) in recs.items():
+        dt = max(bl - bs, 1e-9)
+        q = iters * B
+        gbps = q * T_PAD * H * W * 4 / dt / 1e9
+        print(f"{name:>12} {q/dt:8.1f}  {gbps:6.1f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
