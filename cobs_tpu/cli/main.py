@@ -945,7 +945,8 @@ def cmd_benchmark_scaling(argv):
     for n, qps in sorted(r["per_n"].items()):
         print(f"RESULT devices={n} batch={args.batch} "
               f"queries_per_s={qps:.1f} "
-              f"docs_per_query={n * args.docs_per_shard}")
+              f"docs_per_query={n * args.docs_per_shard} "
+              f"cpu_cores_busy={r['cpu_util'][n]:.2f}")
     for b, qps in sorted(r["per_b"].items()):
         print(f"RESULT batch_sweep B={b} queries_per_s={qps:.1f}")
     cm = r["cost_model"]
@@ -956,6 +957,13 @@ def cmd_benchmark_scaling(argv):
           f"broadcast_bytes_per_query="
           f"{cm['broadcast_bytes_per_query']} "
           f"cpu_proxy={cm['cpu_proxy']}")
+    comp = r["compiled"]
+    # artifact-level proof: collectives counted in the optimized HLO
+    # of the scoring step, bytes from XLA's own cost analysis
+    print(f"RESULT compiled hot_loop_collective_ops="
+          f"{comp['collective_ops']} "
+          f"bytes_accessed_per_query="
+          f"{comp['bytes_accessed_per_query']:.0f}")
     if r["efficiency"] is not None:
         ratio = r["efficiency"] / r["predicted_efficiency"]
         print(f"RESULT weak_scaling_efficiency={r['efficiency']:.3f} "

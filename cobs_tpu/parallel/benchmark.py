@@ -25,6 +25,7 @@ harness-correctness signal there.
 """
 
 import os
+import re
 import time
 
 import numpy as np
@@ -36,8 +37,16 @@ from cobs_tpu.parallel.sharded import make_mesh, score_sharded
 
 
 def _bench_mesh(n_devices: int, sig_size: int, W_per_shard: int,
-                B: int, T: int, num_hashes: int, iters: int) -> float:
-    """Queries/s with the matrix sharded over n_devices."""
+                B: int, T: int, num_hashes: int,
+                iters: int) -> tuple[float, float]:
+    """(queries/s, process CPU utilization in [0, n_cores]) with the
+    matrix sharded over n_devices.
+
+    The CPU utilization (process CPU seconds / wall seconds over the
+    timed loop) is what decides whether a CPU-proxy run is
+    saturation-bound: the predicted proxy efficiency min(1, C/n)
+    assumes full-core saturation at n=1, which only holds when the
+    n=1 run actually reports ~min(n, C) cores busy."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     mesh = make_mesh(n_batch=1, n_docs=n_devices,
@@ -59,6 +68,7 @@ def _bench_mesh(n_devices: int, sig_size: int, W_per_shard: int,
     jax.block_until_ready(
         score_sharded(mesh, matrix, bufs[0], num_hashes))
 
+    cpu0 = time.process_time()
     t0 = time.perf_counter()
     outs = []
     for i in range(iters):
@@ -67,7 +77,70 @@ def _bench_mesh(n_devices: int, sig_size: int, W_per_shard: int,
         if len(outs) > 4:
             jax.block_until_ready(outs.pop(0))
     jax.block_until_ready(outs)
-    return iters * B / (time.perf_counter() - t0)
+    wall = time.perf_counter() - t0
+    cpu_util = (time.process_time() - cpu0) / max(wall, 1e-9)
+    return iters * B / wall, cpu_util
+
+
+#: HLO collective instruction mnemonics (sync and async-start forms)
+_COLLECTIVE_OPS = ("all-reduce", "all-gather", "all-to-all",
+                   "collective-permute", "collective-broadcast",
+                   "reduce-scatter", "ragged-all-to-all")
+
+
+def count_collectives(hlo_text: str) -> int:
+    """Number of collective INSTRUCTIONS in an HLO module's text.
+
+    Matches op invocations (``op(`` / ``op-start(``), not variable
+    names, so a zero really means no cross-device traffic is compiled
+    into the program."""
+    n = 0
+    for op in _COLLECTIVE_OPS:
+        n += len(re.findall(op + r"(?:-start)?\(", hlo_text))
+    return n
+
+
+def compiled_hot_loop_report(n_devices: int, sig_size: int = 1 << 12,
+                             W_per_shard: int = 8, B: int = 8,
+                             T: int = 64, num_hashes: int = 1) -> dict:
+    """Compile (not run) the sharded full-rank scoring step and report
+    what the COMPILED ARTIFACT says, not what the program structure
+    implies:
+
+      collective_ops: count of collective instructions in the
+        optimized HLO — the "0 cross-device bytes in the hot loop"
+        claim, pinned in the artifact (r3 verdict weak item 6 / next
+        item 3).
+      bytes_accessed_per_query: XLA's own cost analysis of memory
+        traffic, per query.
+
+    Shapes default tiny: the lowering (and therefore the collective
+    structure) is shape-independent, and this compiles in seconds.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(n_batch=1, n_docs=n_devices,
+                     devices=jax.devices()[:n_devices])
+    W = W_per_shard * n_devices
+    m_spec = jax.ShapeDtypeStruct(
+        (sig_size + 1, W), jnp.uint32,
+        sharding=NamedSharding(mesh, P(None, "docs")))
+    i_spec = jax.ShapeDtypeStruct(
+        (B, T, num_hashes, 1), jnp.int32,
+        sharding=NamedSharding(mesh, P("batch", None, None, None)))
+    compiled = jax.jit(
+        lambda m, i: score_sharded(mesh, m, i, num_hashes)
+    ).lower(m_spec, i_spec).compile()
+    report = {"collective_ops": count_collectives(compiled.as_text())}
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        ba = float(ca.get("bytes accessed", float("nan")))
+        report["bytes_accessed_per_query"] = ba / B
+    except Exception:
+        report["bytes_accessed_per_query"] = float("nan")
+    return report
 
 
 def cost_model(n_devices: int, W_per_shard: int, T: int,
@@ -108,21 +181,26 @@ def benchmark_scaling(n_devices: int | None = None,
                       B_sweep: tuple[int, ...] = ()) -> dict:
     """Weak-scaling sweep 1..n devices (docs per shard held constant).
 
-    Returns {"per_n": {n: qps}, "efficiency": qps_N/(N*qps_1),
-    "per_b": {B: qps at n_devices}, "cost_model": {...},
+    Returns {"per_n": {n: qps}, "cpu_util": {n: cores busy},
+    "efficiency": qps_N/(N*qps_1), "per_b": {B: qps at n_devices},
+    "cost_model": {...}, "compiled": {...},
     "predicted_efficiency": float}. ``B_sweep`` additionally measures
     each batch size at the full mesh width — batch size is the serving
     lever (dispatch overhead amortizes with B), so scaling claims must
-    state the B they were measured at.
+    state the B they were measured at. ``cpu_util[1]`` completes the
+    proxy argument: measured efficiency above the min(1, C/n) ceiling
+    is explained iff the n=1 run reports < C cores busy. ``compiled``
+    is the artifact-level report (collective-op count, bytes accessed)
+    from :func:`compiled_hot_loop_report`.
     """
     if n_devices is None:
         n_devices = len(jax.devices())
     W_per_shard = docs_per_shard // 32
-    per_n = {}
+    per_n, cpu_util = {}, {}
     ns = sorted({1, 2, n_devices} & set(range(1, n_devices + 1)))
     for n in ns:
-        per_n[n] = _bench_mesh(n, sig_size, W_per_shard, B, T,
-                               num_hashes, iters)
+        per_n[n], cpu_util[n] = _bench_mesh(
+            n, sig_size, W_per_shard, B, T, num_hashes, iters)
     eff = None
     if n_devices in per_n and 1 in per_n and n_devices > 1:
         # weak scaling: N shards score N x the documents per query
@@ -132,9 +210,10 @@ def benchmark_scaling(n_devices: int | None = None,
         if b == B and n_devices in per_n:
             per_b[b] = per_n[n_devices]
         else:
-            per_b[b] = _bench_mesh(n_devices, sig_size, W_per_shard,
-                                   b, T, num_hashes, iters)
+            per_b[b], _ = _bench_mesh(n_devices, sig_size, W_per_shard,
+                                      b, T, num_hashes, iters)
     cm = cost_model(n_devices, W_per_shard, T, num_hashes, B)
-    return {"per_n": per_n, "efficiency": eff, "per_b": per_b,
-            "cost_model": cm,
+    return {"per_n": per_n, "cpu_util": cpu_util, "efficiency": eff,
+            "per_b": per_b, "cost_model": cm,
+            "compiled": compiled_hot_loop_report(n_devices),
             "predicted_efficiency": cm["predicted_efficiency"]}

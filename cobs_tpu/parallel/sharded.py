@@ -188,7 +188,6 @@ class ShardedIndex:
         materializes. Bounded in-flight use only (the dispatch-ahead
         discipline of engine.PendingScores applies)."""
         from cobs_tpu.query.engine import QueryBytes
-        from cobs_tpu.settings import settings
 
         if isinstance(hashes_list, QueryBytes):
             queries = hashes_list.queries
@@ -202,9 +201,7 @@ class ShardedIndex:
                 self.index.docs_per_page)[:len(queries)])
 
         B = len(hashes_list)
-        T_max = max(h.shape[0] for h in hashes_list)
-        if (self.mesh.shape["batch"] > 1
-                and T_max >= settings.seq_split_terms):
+        if self._seq_split(hashes_list):
             scores = self._dispatch_seq(hashes_list)
         else:
             rows_idx = self._rows_idx(hashes_list)
@@ -215,10 +212,11 @@ class ShardedIndex:
             _fetch(self.mesh, scores),
             self.index.docs_per_page)[:B])
 
-    def _dispatch_seq(self, hashes_list) -> jax.Array:
-        """Sequence-parallel scoring: pad the term axis to a multiple
-        of the "batch" axis (padding terms hit the zero row), shard it,
-        psum-merge the partial counts."""
+    def _rows_idx_seq(self, hashes_list) -> np.ndarray:
+        """Row ids for the sequence-parallel paths: [B, T_pad, h, P]
+        with the TERM axis padded to a multiple of the "batch" mesh
+        axis (padding terms hit the zero row); the batch axis stays
+        unpadded — it is replicated, not sharded, under seq split."""
         ix = self.index
         n_batch = self.mesh.shape["batch"]
         B = len(hashes_list)
@@ -228,8 +226,29 @@ class ShardedIndex:
                            self.zero_row, dtype=np.int32)
         for b, hs in enumerate(hashes_list):
             rows_idx[b, :hs.shape[0]] = ix.row_indices(hs)
+        return rows_idx
+
+    def _dispatch_seq(self, hashes_list) -> jax.Array:
+        """Sequence-parallel scoring: pad the term axis to a multiple
+        of the "batch" axis (padding terms hit the zero row), shard it,
+        psum-merge the partial counts."""
         return score_seq_sharded(self.mesh, self.matrix,
-                                 jnp.asarray(rows_idx), ix.num_hashes)
+                                 jnp.asarray(
+                                     self._rows_idx_seq(hashes_list)),
+                                 self.index.num_hashes)
+
+    def _seq_split(self, hashes_list) -> bool:
+        """True when this (host-hashed) batch should run sequence-
+        parallel: a >1 "batch" axis would otherwise idle on a long
+        query padded to the batch grid."""
+        from cobs_tpu.query.engine import QueryBytes
+        from cobs_tpu.settings import settings
+
+        if isinstance(hashes_list, QueryBytes):
+            return False
+        return (self.mesh.shape["batch"] > 1
+                and max(h.shape[0] for h in hashes_list)
+                >= settings.seq_split_terms)
 
     def score_topk(self, hashes_list, k: int):
         """Sharded top-k: each "docs" shard ranks its own documents with
@@ -251,8 +270,10 @@ class ShardedIndex:
         from cobs_tpu.query.engine import QueryBytes, _doc_valid_mask
         ix = self.index
         B = len(hashes_list)
+        seq = self._seq_split(hashes_list)
         if not isinstance(hashes_list, QueryBytes):
-            rows_idx = self._rows_idx(hashes_list)
+            rows_idx = (self._rows_idx_seq(hashes_list) if seq
+                        else self._rows_idx(hashes_list))
         if self._topk_mask is None:
             mask = _doc_valid_mask(ix.num_pages, self.word_width,
                                    ix.docs_per_page, len(ix.file_names))
@@ -268,6 +289,15 @@ class ShardedIndex:
                     self.mesh, self.matrix, jnp.asarray(qb),
                     jnp.asarray(lens), self._topk_mask,
                     *self._hash_args(), k_eff)
+        elif seq:
+            # sequence-parallel top-k: term axis sharded over "batch",
+            # partial counts psum-merged, then the same per-"docs"-
+            # shard top-k — a long query with num_results > 0 uses the
+            # whole mesh instead of idling (n_batch-1)/n_batch of it
+            vals, gidx = _topk_seq_sharded(self.mesh, self.matrix,
+                                           jnp.asarray(rows_idx),
+                                           self._topk_mask,
+                                           ix.num_hashes, k_eff)
         else:
             vals, gidx = _topk_sharded(self.mesh, self.matrix,
                                        jnp.asarray(rows_idx),
@@ -388,6 +418,38 @@ def _local_topk(scores, mask, k: int):
     r = lidx % (Wl * 32)
     gidx = p * (W_glob * 32) + (w0 * 32 + r)
     return vals, gidx.astype(jnp.int32)
+
+
+def _topk_seq_sharded(mesh: Mesh, matrix: jax.Array,
+                      rows_idx: jax.Array, valid_mask: jax.Array,
+                      num_hashes: int, k: int):
+    """Sequence-parallel top-k for very long queries.
+
+    The term axis is sharded across the "batch" mesh axis (the same
+    split as score_seq_sharded), partial per-document counts merge
+    with one psum, and each "docs" shard then ranks its own documents
+    exactly like _topk_sharded. The psum replicates scores over the
+    "batch" axis, so the local top-k is computed redundantly per batch
+    row — k candidate pairs per shard vs the full score matrix, the
+    right trade (reference: cobs/query/classic_search.cpp:355-400 is
+    the score-batch parallelism being scaled).
+
+    rows_idx: i32 [B, T, h, pages] with T divisible by the "batch"
+    axis size, sharded P(None, "batch", None, None). Returns the same
+    (vals, global_flat_idx) [B, shards*k] contract as _topk_sharded.
+    """
+
+    def local(mat, idx, mask):
+        part = _gather_count_planes(mat, idx, num_hashes)
+        scores = lax.psum(part, "batch")
+        return _local_topk(scores, mask, k)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "docs"), P(None, "batch", None, None),
+                  P(None, "docs", None)),
+        out_specs=(P(None, "docs"), P(None, "docs")))(
+            matrix, rows_idx, valid_mask)
 
 
 def _topk_sharded(mesh: Mesh, matrix: jax.Array, rows_idx: jax.Array,
