@@ -549,15 +549,30 @@ class PendingScores:
         (reference: cobs/query/classic_search.cpp:413-429).
         """
         scores = np.asarray(jax.block_until_ready(self._dev))[:self._B]
-        # restore the public int32 contract after the narrowed transfer
-        scores = scores.astype(np.int32, copy=False)
-        B, P, docs = self._B, self._num_pages, self._docs_per_page
-        out = (scores[:, :docs] if P == 1 else
-               scores.reshape(B, P, self._w32)[:, :, :docs]
-               .reshape(B, P * docs))
+        out = _strip_word_padding(scores, self._B, self._num_pages,
+                                  self._w32, self._docs_per_page)
         if self._after is not None:
             self._after()
         return out
+
+
+def _strip_word_padding(scores: np.ndarray, B: int, num_pages: int,
+                        w32: int, docs_per_page: int) -> np.ndarray:
+    """Device [B, P*W*32] scores -> the public int32 [B, counts_size]
+    contract (restores the dtype after the narrowed transfer and drops
+    per-page word padding)."""
+    scores = scores.astype(np.int32, copy=False)
+    if num_pages == 1:
+        return scores[:, :docs_per_page]
+    return (scores.reshape(B, num_pages, w32)[:, :, :docs_per_page]
+            .reshape(B, num_pages * docs_per_page))
+
+
+def _slot_doc_numbers(idx: np.ndarray, w32: int,
+                      docs_per_page: int) -> np.ndarray:
+    """Flat padded score-slot ids -> global document numbers (the
+    page-major numbering of score_batch's output)."""
+    return ((idx // w32) * docs_per_page + idx % w32).astype(np.int64)
 
 
 class PendingTopK:
@@ -581,8 +596,7 @@ class PendingTopK:
         score_topk contract."""
         vals = np.asarray(jax.block_until_ready(self._vals))[:self._B]
         idx = np.asarray(self._idx)[:self._B]
-        docs = ((idx // self._w32) * self._docs_per_page
-                + idx % self._w32).astype(np.int64)
+        docs = _slot_doc_numbers(idx, self._w32, self._docs_per_page)
         if self._after is not None:
             self._after()
         return vals, docs
@@ -639,16 +653,19 @@ class QueryBytes:
 
 
 def _pack_query_bytes(queries: list[bytes], term_size: int,
-                      b_pad: int | None = None):
+                      b_pad: int | None = None,
+                      t_pad: int | None = None):
     """Pad queries to bucketed [B_pad, L_pad] u8 + true lengths i32.
 
     Padding bytes are 'A' (any valid letter works — terms past a
     query's true end are masked to the zero row on device). b_pad
     overrides the batch-axis padding (mesh callers round to the
-    "batch" axis size instead of the jit bucket)."""
+    "batch" axis size instead of the jit bucket); t_pad overrides the
+    term-axis bucket (multi-batch dispatch pads every batch of a group
+    to the group maximum so one compiled program serves all of them)."""
     B_pad = _bucket(len(queries)) if b_pad is None else b_pad
     L_max = max(len(q) for q in queries)
-    T_max = _bucket(L_max - term_size + 1)
+    T_max = _bucket(L_max - term_size + 1) if t_pad is None else t_pad
     L_pad = T_max + term_size - 1
     qb = np.full((B_pad, L_pad), ord("A"), dtype=np.uint8)
     lens = np.zeros(B_pad, dtype=np.int32)
@@ -688,29 +705,40 @@ def _hash_gather_count_topk(matrix, qdata, qlens, valid_mask,
     return jax.lax.top_k(masked, k)
 
 
-def _device_hash_args(index: DeviceIndex, qb: QueryBytes):
+def _device_hash_args(index: DeviceIndex, qb: QueryBytes,
+                      b_pad: int | None = None,
+                      t_pad: int | None = None):
     if index.matrix.shape[0] > np.iinfo(np.int32).max:
         # same guard as the host path's row_indices — device hashing
         # must not silently truncate row ids
         raise ValueError("index too large for int32 row addressing")
     qbytes, lens, T_max = _pack_query_bytes(qb.queries,
-                                            index.term_size)
-    if index.canonicalize == 1 and os.environ.get(
-            "COBS_TPU_PACK_QUERIES", "1") != "0":
-        # validated ACGT packs 2 bits/base: another 4x off the upload
-        # (text mode hashes arbitrary bytes, so it ships them raw).
-        # Measured neutral on the co-located/tunneled link (the plateau
-        # there is dispatch+fetch, BASELINE r3); COBS_TPU_PACK_QUERIES=0
-        # ships raw bytes while keeping device hashing, for links where
-        # the pack/decode cost matters more than upload width.
-        from cobs_tpu.ops.device_hash import pack_queries_2bit
-        packed_len = qbytes.shape[1]
-        qbytes = pack_queries_2bit(qbytes)
-    else:
-        packed_len = 0
+                                            index.term_size,
+                                            b_pad=b_pad, t_pad=t_pad)
+    qbytes, packed_len = _maybe_pack_2bit(index, qbytes)
     return (jnp.asarray(qbytes), jnp.asarray(lens), T_max,
             tuple(int(s) for s in index.sig_sizes),
             tuple(int(o) for o in index.row_offsets), packed_len)
+
+
+def _maybe_pack_2bit(index: DeviceIndex, qbytes: np.ndarray):
+    """(qdata, packed_len) with the 2-bit DNA pack applied if eligible.
+
+    Validated ACGT packs 2 bits/base: another 4x off the upload (text
+    mode hashes arbitrary bytes, so it ships them raw). Measured
+    neutral on the co-located/tunneled link (the plateau there is
+    dispatch+fetch, BASELINE r3); COBS_TPU_PACK_QUERIES=0 ships raw
+    bytes while keeping device hashing, for links where the
+    pack/decode cost matters more than upload width. Accepts [..., L]
+    (multi-batch callers pass [K, B, L])."""
+    if index.canonicalize == 1 and os.environ.get(
+            "COBS_TPU_PACK_QUERIES", "1") != "0":
+        from cobs_tpu.ops.device_hash import pack_queries_2bit
+        packed_len = qbytes.shape[-1]
+        lead = qbytes.shape[:-1]
+        packed = pack_queries_2bit(qbytes.reshape(-1, packed_len))
+        return packed.reshape(*lead, packed.shape[-1]), packed_len
+    return qbytes, 0
 
 
 def score_batch_async(index: DeviceIndex,
@@ -1252,3 +1280,257 @@ def score_topk(index: DeviceIndex, hashes_list, k: int,
     if timer:
         timer.stop()
     return out
+
+
+# --------------------------------------------------------------------
+# Multi-batch mega-dispatch: K query batches inside ONE device program.
+#
+# Serving through a high-latency link pays a fixed per-dispatch+fetch
+# cost (~hundreds of ms through a remote tunnel) that dwarfs the
+# device time of a single batch; bench.py's measurement protocol
+# already proves K batches per program amortize it (its differenced
+# lax.scan). This section makes that the PRODUCTION path: a lax.scan
+# over K stacked batches — per-step batch size stays at the measured
+# in-dispatch sweet spot (large single batches LOSE device throughput,
+# BASELINE r3 batch sweep) while the dispatch+fetch cost divides by K.
+# The reference's serial query loop being beaten:
+# (reference: src/cobs.cpp:471-527).
+# --------------------------------------------------------------------
+
+
+class _SharedFetch:
+    """One device-to-host materialization shared by the K per-batch
+    pending handles of a mega-dispatch (the first fetch blocks on the
+    whole program; the rest are free)."""
+
+    __slots__ = ("_dev", "_host")
+
+    def __init__(self, *dev):
+        self._dev = dev
+        self._host = None
+
+    def get(self) -> tuple:
+        if self._host is None:
+            self._host = tuple(
+                np.asarray(jax.block_until_ready(a)) for a in self._dev)
+            self._dev = None
+        return self._host
+
+
+class PendingScoresView:
+    """PendingScores over one batch slice of a mega-dispatch."""
+
+    __slots__ = ("_shared", "_g", "_B", "_num_pages", "_w32",
+                 "_docs_per_page")
+
+    def __init__(self, shared, g, B, num_pages, word_width,
+                 docs_per_page):
+        self._shared = shared
+        self._g = g
+        self._B = B
+        self._num_pages = num_pages
+        self._w32 = word_width * 32
+        self._docs_per_page = docs_per_page
+
+    def fetch(self) -> np.ndarray:
+        scores = self._shared.get()[0][self._g][:self._B]
+        return _strip_word_padding(scores, self._B, self._num_pages,
+                                   self._w32, self._docs_per_page)
+
+
+class PendingTopKView:
+    """PendingTopK over one batch slice of a mega-dispatch."""
+
+    __slots__ = ("_shared", "_g", "_B", "_w32", "_docs_per_page")
+
+    def __init__(self, shared, g, B, word_width, docs_per_page):
+        self._shared = shared
+        self._g = g
+        self._B = B
+        self._w32 = word_width * 32
+        self._docs_per_page = docs_per_page
+
+    def fetch(self):
+        vals, idx = self._shared.get()
+        v = vals[self._g][:self._B]
+        docs = _slot_doc_numbers(idx[self._g][:self._B], self._w32,
+                                 self._docs_per_page)
+        return v, docs
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _hash_gather_count_multi(matrix, qdata, qlens, term_size,
+                             num_hashes, canonicalize, sig_sizes,
+                             row_offsets, zero_row, packed_len):
+    """Device-hash full-rank scoring of K stacked batches:
+    qdata [K, B, Lp], qlens [K, B] -> scores [K, B, P*W*32]."""
+    from cobs_tpu.ops.device_hash import rows_from_queries
+
+    def body(c, xs):
+        qd, ql = xs
+        rows = rows_from_queries(qd, ql, term_size, num_hashes,
+                                 canonicalize, sig_sizes, row_offsets,
+                                 zero_row, packed_len)
+        return c, _gather_count_planes(matrix, rows, num_hashes) \
+            .reshape(rows.shape[0], -1)
+
+    _, scores = lax.scan(body, 0, (qdata, qlens))
+    return scores
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+def _hash_gather_count_topk_multi(matrix, qdata, qlens, valid_mask,
+                                  term_size, num_hashes, canonicalize,
+                                  sig_sizes, row_offsets, zero_row, k,
+                                  packed_len):
+    """Device-hash top-k of K stacked batches -> ([K, B, k], [K, B, k])."""
+    from cobs_tpu.ops.device_hash import rows_from_queries
+
+    def body(c, xs):
+        qd, ql = xs
+        rows = rows_from_queries(qd, ql, term_size, num_hashes,
+                                 canonicalize, sig_sizes, row_offsets,
+                                 zero_row, packed_len)
+        scores = _gather_count_planes(matrix, rows, num_hashes) \
+            .reshape(rows.shape[0], -1)
+        masked = jnp.where(valid_mask[None, :], scores, -1)
+        return c, jax.lax.top_k(masked, k)
+
+    _, (vals, idx) = lax.scan(body, 0, (qdata, qlens))
+    return vals, idx
+
+
+@functools.partial(jax.jit, static_argnames=("num_hashes",))
+def _gather_and_count_multi(matrix, rows_idx, num_hashes):
+    """Host-hash full-rank scoring of K stacked row-id batches:
+    rows_idx [K, B, T, h, P] -> scores [K, B, P*W*32]."""
+
+    def body(c, idx):
+        return c, _gather_count_planes(matrix, idx, num_hashes) \
+            .reshape(idx.shape[0], -1)
+
+    _, scores = lax.scan(body, 0, rows_idx)
+    return scores
+
+
+@functools.partial(jax.jit, static_argnames=("num_hashes", "k"))
+def _gather_count_topk_multi(matrix, rows_idx, valid_mask, num_hashes,
+                             k):
+    def body(c, idx):
+        scores = _gather_count_planes(matrix, idx, num_hashes) \
+            .reshape(idx.shape[0], -1)
+        masked = jnp.where(valid_mask[None, :], scores, -1)
+        return c, jax.lax.top_k(masked, k)
+
+    _, (vals, idx) = lax.scan(body, 0, rows_idx)
+    return vals, idx
+
+
+def _multi_query_args(index: DeviceIndex, payloads: list):
+    """Stack K QueryBytes payloads to common-shape device inputs:
+    (qdata [K, B, *], qlens [K, B], T_max, sigs, offs, packed_len)."""
+    if index.matrix.shape[0] > np.iinfo(np.int32).max:
+        raise ValueError("index too large for int32 row addressing")
+    k = index.term_size
+    B_pad = _bucket(max(len(p) for p in payloads))
+    T_max = _bucket(max(len(q) for p in payloads for q in p.queries)
+                    - k + 1)
+    L_pad = T_max + k - 1
+    qb = np.full((len(payloads), B_pad, L_pad), ord("A"),
+                 dtype=np.uint8)
+    lens = np.zeros((len(payloads), B_pad), dtype=np.int32)
+    for g, p in enumerate(payloads):
+        for b, q in enumerate(p.queries):
+            a = np.frombuffer(q, dtype=np.uint8)
+            qb[g, b, :a.size] = a
+            lens[g, b] = a.size
+    qb, packed_len = _maybe_pack_2bit(index, qb)
+    return (jnp.asarray(qb), jnp.asarray(lens), T_max,
+            tuple(int(s) for s in index.sig_sizes),
+            tuple(int(o) for o in index.row_offsets), packed_len)
+
+
+def _multi_rows_idx(index: DeviceIndex, payloads: list):
+    """Stack K host-hash batches to rows_idx [K, B, T, h, P] + T_max."""
+    B_pad = _bucket(max(len(p) for p in payloads))
+    T_max = _bucket(max(h.shape[0] for p in payloads for h in p))
+    P, nh = index.num_pages, index.num_hashes
+    rows = np.full((len(payloads), B_pad, T_max, nh, P),
+                   index.zero_row, dtype=np.int32)
+    for g, p in enumerate(payloads):
+        for b, hs in enumerate(p):
+            rows[g, b, :hs.shape[0]] = index.row_indices(hs)
+    return rows, T_max
+
+
+def score_batch_multi_async(index: DeviceIndex, payloads: list,
+                            timer: Timer | None = None) -> list:
+    """Dispatch K query batches as ONE device program (full ranking).
+
+    `payloads` is a list of K batches — each a QueryBytes or a list of
+    per-query hash tensors, uniformly — all scored by a single
+    lax.scan program whose per-step batch keeps the in-dispatch sweet
+    spot. Returns K pending handles with the exact PendingScores
+    contract; the first fetch blocks on the whole program, the rest
+    are free. Distinct K values compile distinct programs — callers
+    should stick to a small ladder (Search buckets to powers of two).
+    """
+    if timer:
+        timer.active("io")
+    if payloads and isinstance(payloads[0], QueryBytes):
+        dq, dl, T_max, sigs, offs, plen = _multi_query_args(index,
+                                                            payloads)
+        with jax.enable_x64():  # XXH64 needs (emulated) uint64
+            scores = _hash_gather_count_multi(
+                index.matrix, dq, dl, index.term_size,
+                index.num_hashes, index.canonicalize, sigs, offs,
+                index.zero_row, plen)
+    else:
+        rows, T_max = _multi_rows_idx(index, payloads)
+        scores = _gather_and_count_multi(index.matrix,
+                                         jnp.asarray(rows),
+                                         index.num_hashes)
+    scores = _shrink_scores(scores, T_max)
+    if timer:
+        timer.stop()
+    shared = _SharedFetch(scores)
+    return [PendingScoresView(shared, g, len(p), index.num_pages,
+                              index.word_width, index.docs_per_page)
+            for g, p in enumerate(payloads)]
+
+
+def score_topk_multi_async(index: DeviceIndex, payloads: list, k: int,
+                           timer: Timer | None = None) -> list:
+    """Dispatch K query batches as ONE device top-k program.
+
+    Same contract per handle as PendingTopK; same K-program discipline
+    as score_batch_multi_async.
+    """
+    mask = getattr(index, "_valid_mask", None)
+    if mask is None:
+        mask = jax.device_put(_doc_valid_mask(
+            index.num_pages, index.word_width, index.docs_per_page,
+            len(index.file_names)))
+        index._valid_mask = mask
+    k_eff = min(k, int(mask.shape[0]))
+    if timer:
+        timer.active("io")
+    if payloads and isinstance(payloads[0], QueryBytes):
+        dq, dl, _, sigs, offs, plen = _multi_query_args(index,
+                                                        payloads)
+        with jax.enable_x64():
+            vals, idx = _hash_gather_count_topk_multi(
+                index.matrix, dq, dl, mask, index.term_size,
+                index.num_hashes, index.canonicalize, sigs, offs,
+                index.zero_row, k_eff, plen)
+    else:
+        rows, _ = _multi_rows_idx(index, payloads)
+        vals, idx = _gather_count_topk_multi(
+            index.matrix, jnp.asarray(rows), mask, index.num_hashes,
+            k_eff)
+    if timer:
+        timer.stop()
+    shared = _SharedFetch(vals, idx)
+    return [PendingTopKView(shared, g, len(p), index.word_width,
+                            index.docs_per_page)
+            for g, p in enumerate(payloads)]

@@ -414,6 +414,59 @@ class Search:
                 else score_batch_async(ix, hashed[k], self.timer_)
                 for k, ix in enumerate(self.index_files)]
 
+    def _mega_k(self) -> int:
+        """Batches per device program when the queue is deep (1 = no
+        mega-dispatch). >1 only for plain HBM-resident DeviceIndex
+        backends — the regime where the fixed per-dispatch+fetch cost
+        (not device work) bounds served throughput. Streamed backends
+        score on the host (no dispatch cost to amortize) and sharded
+        meshes keep per-batch dispatch for now."""
+        if self._sharded is not None:
+            return 1
+        if not all(isinstance(ix, DeviceIndex)
+                   for ix in self.index_files):
+            return 1
+        return max(1, int(settings.mega_batches))
+
+    def _dispatch_multi_async(self, hashed_group, num_results):
+        """Mega-dispatch: K pre-hashed batches as ONE device program
+        per index (engine.score_*_multi_async). Returns one pending
+        list per batch — the exact per-batch contract of
+        `_dispatch_async`, so `_finish_batch` consumes them unchanged."""
+        from cobs_tpu.query.engine import (
+            score_batch_multi_async,
+            score_topk_multi_async,
+        )
+
+        K = len(hashed_group)
+        per_index = []
+        for kx, ix in enumerate(self.index_files):
+            payloads = [hashed_group[g][kx] for g in range(K)]
+            if num_results > 0:
+                per_index.append(score_topk_multi_async(
+                    ix, payloads, num_results, self.timer_))
+            else:
+                per_index.append(score_batch_multi_async(
+                    ix, payloads, self.timer_))
+        return [[pi[g] for pi in per_index] for g in range(K)]
+
+    def _dispatch_group_async(self, hashed_group, num_results):
+        """Dispatch a group of pre-hashed batches, packing
+        power-of-two runs into single device programs. Power-of-two
+        bucketing bounds the set of compiled K variants to
+        log2(mega_batches); a group of 7 dispatches as 4 + 2 + 1."""
+        out, i, K = [], 0, len(hashed_group)
+        while i < K:
+            n = 1 << ((K - i).bit_length() - 1)
+            if n == 1:
+                out.append(self._dispatch_async(hashed_group[i],
+                                                num_results))
+            else:
+                out.extend(self._dispatch_multi_async(
+                    hashed_group[i:i + n], num_results))
+            i += n
+        return out
+
     def _finish_batch(self, qbytes, errors, pending, threshold,
                       num_results, total_docs):
         """Fetch + rank one dispatched batch (pairs `_dispatch_async`).
@@ -457,6 +510,13 @@ class Search:
         high-latency link. This covers full ranking, top-k
         (num_results > 0), StreamedIndex, and mesh-sharded backends.
 
+        DeviceIndex backends additionally pack groups of up to
+        `settings.mega_batches` consecutive batches into ONE device
+        program (mega-dispatch, engine.score_*_multi_async): through a
+        high-latency link the fixed per-dispatch+fetch cost dominates,
+        and K batches per program divide it by K while the per-step
+        batch size stays at the in-dispatch sweet spot.
+
         Yields one `list[SearchResult]` per query, in order. An
         invalid query (too short, non-ACGT) yields a `QueryError` in
         its slot instead of aborting the stream.
@@ -468,6 +528,7 @@ class Search:
         it = iter(queries)
         DEPTH = 2   # bounded: unbounded async enqueue poisons
         # tunneled devices (see PendingScores)
+        MEGA = self._mega_k()
         total_docs = sum(len(ix.file_names) for ix in self.index_files)
 
         def hash_next():
@@ -488,6 +549,15 @@ class Search:
                                       total_docs)
 
         inflight = collections.deque()
+        ready = []   # hashed batches awaiting a (mega-)dispatch
+
+        def flush():
+            pendings = self._dispatch_group_async(
+                [h for _, h, _ in ready], num_results)
+            for (qb, _, er), pd in zip(ready, pendings):
+                inflight.append((qb, er, pd))
+            ready.clear()
+
         with concurrent.futures.ThreadPoolExecutor(1) as pool:
             pending = pool.submit(hash_next)
             while True:
@@ -496,11 +566,16 @@ class Search:
                     break
                 self.timer_.merge(t)
                 pending = pool.submit(hash_next)
-                inflight.append((qbytes, errors,
-                                 self._dispatch_async(hashed,
-                                                      num_results)))
-                if len(inflight) > DEPTH:
+                ready.append((qbytes, hashed, errors))
+                if len(ready) >= MEGA:
+                    flush()
+                # window in batches: one mega group ahead stays
+                # dispatched while the previous drains (double
+                # buffering); MEGA == 1 reduces to the plain DEPTH
+                while len(inflight) > max(DEPTH, MEGA):
                     yield from finish(*inflight.popleft())
+            if ready:
+                flush()
             while inflight:
                 yield from finish(*inflight.popleft())
 

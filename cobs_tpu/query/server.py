@@ -19,8 +19,13 @@ a Unix domain socket or TCP:
             {"cmd": "stats"} -> {"queries": N, "batches": N, ...}
 
 Batching: requests arriving within `linger_ms` of the first one
-coalesce into a batch of up to `batch_size` queries. The scorer ranks
-every batch once at the server's configured floor (threshold
+coalesce into a batch of up to `batch_size` queries. When the queue
+runs deeper than one batch, up to `settings.mega_batches` full batches
+pack into ONE device program (mega-dispatch, engine.score_*_multi_
+async) — the fixed per-dispatch+fetch cost that bounds served
+throughput on remote links divides by the group size, while shallow
+queues keep single-batch dispatch for bounded latency. The scorer
+ranks every batch once at the server's configured floor (threshold
 `t_floor`, result cap `limit`); a request may RAISE the threshold or
 LOWER the cap — both are prefix cuts on the (score desc, doc asc)-
 sorted list (`ResultList.cut`), bit-exact by construction. Requests
@@ -260,6 +265,9 @@ class QueryServer:
                             if len(term_sizes) == 1 else None)
         self._total_docs = sum(len(ix.file_names)
                                for ix in search.index_files)
+        # deep-queue mega-dispatch ceiling (1 = per-batch dispatch):
+        # recomputed on reload because the backend kind may change
+        self._mega = search._mega_k()
         self.search = search
 
     # ------------------------------------------------------------ public
@@ -282,11 +290,15 @@ class QueryServer:
         self._accept_thread.start()
         self._scorer_thread.start()
 
-    def warmup(self, query_len: int) -> None:
+    def warmup(self, query_len: int, mega: bool = True) -> None:
         """Pre-compile the scoring program for this server's batch
         size and a `query_len`-character query (first remote compiles
         cost tens of seconds — pay them at deploy time, not on the
-        first client's request). Call before `start()`."""
+        first client's request). Call before `start()`.
+
+        With `mega` (default) every power-of-two mega-dispatch variant
+        up to `settings.mega_batches` is compiled too, so a traffic
+        burst never stalls the scorer behind a cold compile."""
         import numpy as np
 
         if self._started:
@@ -299,6 +311,20 @@ class QueryServer:
         qs = [random_sequence_rng(query_len, rng)
               for _ in range(self.batch_size)]
         self.search.search_batch(qs, self.t_floor, self.limit)
+        if not mega or self._mega <= 1:
+            return
+        s = self.search
+        qbytes = [q.encode() for q in qs]
+        t = Timer()
+        hashed, errors = s._hash_batch_lenient(qbytes, t)
+        K = 2
+        while K <= self._mega:
+            pendings = s._dispatch_multi_async([hashed] * K,
+                                               self.limit)
+            s._finish_batch(qbytes, errors, pendings[-1],
+                            self.t_floor, self.limit,
+                            self._total_docs)
+            K *= 2
 
     def serve_forever(self, log_interval: float = 0.0) -> None:
         """start() and block until close() (for the CLI).
@@ -450,7 +476,8 @@ class QueryServer:
             st = {k: 0 for k in ("queries", "batches", "query_errors",
                                  "bad_requests", "batch_failures",
                                  "overflowed_connections", "reloads",
-                                 "failed_reloads", "stalled_rejects")}
+                                 "failed_reloads", "stalled_rejects",
+                                 "mega_dispatches")}
             with self._lock:
                 st.update(self._stats)
             st["stalled"] = self._stall_seconds() > 0
@@ -604,22 +631,49 @@ class QueryServer:
                 if stopping:
                     return
                 continue
-            qbytes = [it[2].encode() for it in items]
+            # deep queue: assemble up to _mega additional FULL batches
+            # (each available without lingering) and pack the group
+            # into one device program — the fixed per-dispatch+fetch
+            # cost divides by the group size. Shallow queues keep
+            # single-batch dispatch, so latency stays bounded.
+            groups = [items]
+            while (not stopping and reload_req is None
+                   and len(groups) < self._mega
+                   and len(groups[-1]) == self.batch_size
+                   and self._rq.qsize() >= self.batch_size):
+                more, stopping, reload_req = \
+                    self._next_batch(block=False)
+                if more:
+                    groups.append(more)
+                else:
+                    break
             try:
                 s = self.search
-                t = Timer()
-                hashed, errors = s._hash_batch_lenient(qbytes, t)
-                s.timer_.merge(t)
-                self._count("batches")
-                self._count("queries", len(items))
-                inflight.append(
-                    (items, qbytes, errors,
-                     s._dispatch_async(hashed, self.limit)))
-                del hashed, s
+                hashed_group, metas = [], []
+                for g_items in groups:
+                    qbytes = [it[2].encode() for it in g_items]
+                    t = Timer()
+                    hashed, errors = s._hash_batch_lenient(qbytes, t)
+                    s.timer_.merge(t)
+                    hashed_group.append(hashed)
+                    metas.append((g_items, qbytes, errors))
+                self._count("batches", len(groups))
+                self._count("queries",
+                            sum(len(g) for g in groups))
+                if len(groups) > 1:
+                    self._count("mega_dispatches")
+                pendings = s._dispatch_group_async(hashed_group,
+                                                   self.limit)
+                for (g_items, qbytes, errors), pd in zip(metas,
+                                                         pendings):
+                    inflight.append((g_items, qbytes, errors, pd))
+                del hashed_group, metas, pendings, s
             except Exception as e:  # a resident server must survive
-                self._fail_batch(items, e)
+                for g_items in groups:
+                    self._fail_batch(g_items, e)
                 continue
-            while len(inflight) > self.depth:
+            # keep one full group dispatched ahead (double buffering)
+            while len(inflight) > max(self.depth, len(groups)):
                 self._emit_safe(inflight.popleft())
 
     def _do_reload(self, req: _Reload):

@@ -47,6 +47,15 @@ class Settings:
     #! native host pipeline. Streamed (host-scored) backends and the
     #! sequence-parallel long-query split always hash on the host.
     device_hash: str = os.environ.get("COBS_TPU_DEVICE_HASH", "auto")
+    #! multi-batch mega-dispatch ceiling: when a serving queue or query
+    #! stream is deep, up to this many batches pack into ONE device
+    #! program (lax.scan over stacked batches), amortizing the fixed
+    #! per-dispatch+fetch cost that dominates remote/tunneled links.
+    #! Groups round to powers of two to bound compiled-program count;
+    #! 1 disables. Applies to plain DeviceIndex backends (HBM-resident,
+    #! the dispatch-bound regime).
+    mega_batches: int = int(os.environ.get("COBS_TPU_MEGA_BATCHES",
+                                           "16"))
 
 
 settings = Settings()
