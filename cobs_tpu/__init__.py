@@ -64,6 +64,7 @@ from cobs_tpu.construct.compact import (
     compact_construct,
     compact_construct_list,
     compact_combine_into_compact,
+    compact_repack,
 )
 from cobs_tpu.query.search import QueryError, Search, SearchResult
 from cobs_tpu.query.server import QueryServer
@@ -85,6 +86,7 @@ __all__ = [
     "compact_construct",
     "compact_construct_list",
     "compact_combine_into_compact",
+    "compact_repack",
     "QueryClient",
     "QueryError",
     "QueryServer",

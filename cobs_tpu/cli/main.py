@@ -240,6 +240,30 @@ def cmd_compact_construct(argv):
     return 0
 
 
+def cmd_repack(argv):
+    p = argparse.ArgumentParser(prog="cobs repack")
+    p.add_argument("in_file", help="compact index to repack")
+    p.add_argument("out_file", help="output compact index")
+    p.add_argument("-p", "--page-size", type=int, default=0,
+                   help="target page size in bytes (achievable sizes "
+                        "are multiples of the input's; default: merge "
+                        "maximally)")
+    p.add_argument("--clobber", action="store_true",
+                   help="overwrite output file if it exists")
+    args = p.parse_args(argv)
+
+    from cobs_tpu.construct.compact import compact_repack
+    from cobs_tpu.fmt import compact as fmt_compact
+    h, _ = fmt_compact.read_compact_header(args.in_file)
+    new_page = compact_repack(args.in_file, args.out_file,
+                              page_size=args.page_size,
+                              clobber=args.clobber)
+    print(f"repacked {len(h.parameters)} pages of {h.page_size} B into "
+          f"{len(h.parameters) * h.page_size // new_page} pages of "
+          f"{new_page} B (bit-preserving per document)")
+    return 0
+
+
 def cmd_compact_construct_combine(argv):
     p = argparse.ArgumentParser(prog="cobs compact-construct-combine")
     p.add_argument("in_dir")
@@ -986,6 +1010,9 @@ SUBTOOLS = {
     "compact-construct-combine": (cmd_compact_construct_combine,
                                   "combine classic indices into a compact "
                                   "index"),
+    "repack": (cmd_repack,
+               "merge equal-size compact pages into wider TPU-friendly "
+               "pages, bit-preserving"),
     "query": (cmd_query, "query an index"),
     "serve": (cmd_serve, "run a resident batching query server"),
     "doctor": (cmd_doctor, "check devices, native runtime, caches"),

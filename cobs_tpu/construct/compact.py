@@ -189,3 +189,74 @@ def compact_construct(doc_list: DocumentList, index_file, tmp_path=None,
 def compact_construct_list(input, out_file, index_params=None,
                            tmp_path=None) -> None:
     compact_construct(input, out_file, tmp_path, index_params)
+
+
+def compact_repack(in_file, out_file, page_size: int = 0,
+                   clobber: bool = False, memory: int = 1 << 30) -> int:
+    """Merge consecutive equal-signature pages of a compact index into
+    wider pages, bit-preserving per document, and write a new file.
+
+    Pages with equal Bloom sizes (and equal num_hashes) probe the same
+    row per hash, so their matrices concatenate column-wise without
+    changing a single gathered bit, score, or document number — the
+    streaming analog of the load-time merge in
+    query/engine._load_matrix_coalesced. A reference-default index
+    (space-optimal small pages, compact_index.cpp:184-189) over a
+    similar-size corpus repacks into TPU-friendly >= 512 B pages in one
+    pass; DeviceIndex then gathers one wide lane-aligned row per term
+    instead of one padded row per page (docs/tutorial.md, "Compact
+    page size"). Page layout being preserved (reference:
+    cobs/construction/compact_index.cpp:171-340).
+
+    page_size: target page size in bytes (0 = merge maximally). The
+    achievable sizes are old_page_size * d for divisors d of the merge
+    factor; the largest achievable size <= page_size is used.
+    Returns the new page size in bytes.
+    """
+    in_file, out_file = Path(in_file), Path(out_file)
+    if out_file.exists() and not clobber:
+        raise FileExistsError(f"{out_file} exists (use --clobber)")
+    h, payload_off = fmt_compact.read_compact_header(in_file)
+    keys = [(p.signature_size, p.num_hashes) for p in h.parameters]
+    m = fmt_compact.coalesce_factor(keys)
+    if m == 1 and len(keys) > 1:
+        raise ValueError(
+            "compact repack: adjacent pages have unequal Bloom sizes — "
+            "nothing merges bit-exactly; rebuild with a larger "
+            "--page-size instead")
+    if page_size:
+        # valid factors are exactly the divisors of the maximal one
+        # (any all-uniform grouping's breaks are multiples of its m)
+        want = max(1, page_size // h.page_size)
+        m = max(d for d in range(1, m + 1) if m % d == 0 and d <= want)
+
+    new_page = h.page_size * m
+    new_params = [h.parameters[i] for i in range(0, len(keys), m)]
+    header = fmt_compact.CompactIndexHeader(
+        term_size=h.term_size, canonicalize=h.canonicalize,
+        page_size=new_page, parameters=new_params,
+        file_names=list(h.file_names))
+
+    offs = np.zeros(len(keys) + 1, dtype=np.int64)
+    np.cumsum(np.asarray([k[0] for k in keys], dtype=np.int64)
+              * h.page_size, out=offs[1:])
+    mm = np.memmap(in_file, dtype=np.uint8, mode="r", offset=payload_off,
+                   shape=(int(offs[-1]),))
+    if out_file.parent != Path(""):
+        out_file.parent.mkdir(parents=True, exist_ok=True)
+    stripe_rows = max(1, int(memory) // max(1, new_page) // 2)
+    with open(out_file, "wb") as ofs:
+        header.serialize(ofs)
+        for g0, p in zip(range(0, len(keys), m), new_params):
+            r = 0
+            while r < p.signature_size:
+                n = min(stripe_rows, p.signature_size - r)
+                stripe = np.empty((n, new_page), dtype=np.uint8)
+                for j in range(m):
+                    blk = mm[offs[g0 + j] + r * h.page_size:
+                             offs[g0 + j] + (r + n) * h.page_size]
+                    stripe[:, j * h.page_size:(j + 1) * h.page_size] = \
+                        blk.reshape(n, h.page_size)
+                stripe.tofile(ofs)
+                r += n
+    return new_page

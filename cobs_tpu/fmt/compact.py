@@ -117,3 +117,34 @@ def write_compact_index(path, header: CompactIndexHeader,
 
 def is_compact_file(path) -> bool:
     return magic.file_has_header(path, MAGIC, VERSION)
+
+
+def coalesce_factor(sig_sizes) -> int:
+    """Largest m dividing the page count such that every group of m
+    consecutive pages shares ONE signature size.
+
+    Pages with equal Bloom sizes probe the same row per hash
+    (row = hash % sig), so their matrices concatenate COLUMN-wise into
+    one wider page bit-exactly: gathered bits, per-document scores,
+    document numbering AND the public counts_size are all unchanged
+    (documents are laid out page-major in construction order,
+    reference: cobs/construction/compact_index.cpp:171-340). Any page
+    boundary change must break exactly at signature-size change
+    points, so the answer is the gcd of those change-point indices and
+    the page count — requiring m | page_count keeps every group full,
+    which is what preserves the 8*page_size*num_pages score layout.
+    Uniform sizes give m = page count (one merged page).
+
+    This is the lever behind the documented >= 512 B page-size guidance
+    (docs/tutorial.md): sub-512 B pages pad to the 128-word lane tile
+    on TPU and multiply gather traffic ~8x; merging equal-size pages
+    recovers the wide-row layout without rebuilding the index.
+    """
+    import math
+
+    P = len(sig_sizes)
+    m = P
+    for i in range(1, P):
+        if sig_sizes[i] != sig_sizes[i - 1]:
+            m = math.gcd(m, i)
+    return m

@@ -133,27 +133,43 @@ class DeviceIndex:
             if p.num_hashes != num_hashes:
                 raise FileIOError(
                     "compact index with non-uniform num_hashes unsupported")
-        W = _pad_words(-(-h.page_size // 4))
-        if h.page_size * len(h.parameters) > 1024 and h.page_size < 512:
-            import sys
-            print(f"NOTE: compact index has {len(h.parameters)} pages of "
-                  f"{h.page_size} B; pages below 512 B pad to the 128-word "
-                  "lane tile and multiply gather traffic on TPU — consider "
-                  "constructing with --page-size >= 512 for query-heavy "
-                  "workloads", file=sys.stderr)
         sig_sizes = [p.signature_size for p in h.parameters]
+        page_size = h.page_size
+        # pages with equal Bloom sizes probe the same row per hash, so
+        # they merge COLUMN-wise into one wider page bit-exactly
+        # (fmt_compact.coalesce_factor) — one gather per term instead
+        # of one per page, and wide rows gather faster per byte. The
+        # file keeps the reference's space-optimal small pages; this
+        # re-layout exists only in HBM (`cobs repack` materializes it).
+        m = (fmt_compact.coalesce_factor(sig_sizes)
+             if os.environ.get("COBS_TPU_COALESCE_PAGES", "1") != "0"
+             else 1)
+        if m > 1:
+            matrix, sig_sizes = _load_matrix_coalesced(
+                path, off, sig_sizes, page_size, m)
+            page_size *= m
+            W = matrix.shape[1]
+        else:
+            W = _pad_words(-(-page_size // 4))
+            matrix = _load_matrix_striped(path, off,
+                                          int(sum(sig_sizes)),
+                                          page_size, W)
+        if page_size * len(sig_sizes) > 1024 and page_size < 512:
+            import sys
+            print(f"NOTE: compact index has {len(sig_sizes)} pages of "
+                  f"{page_size} B (after equal-size coalescing); pages "
+                  "below 512 B pad to the 128-word lane tile and "
+                  "multiply gather traffic on TPU — consider "
+                  "constructing with --page-size >= 512 or running "
+                  "`cobs repack` for query-heavy workloads",
+                  file=sys.stderr)
         offsets = np.zeros(len(sig_sizes), dtype=np.int64)
         np.cumsum(sig_sizes[:-1], out=offsets[1:])
-        # pages are back to back in the file with one row stride
-        # (page_size bytes), so the stacked [total_rows, page_size]
-        # payload loads as a single striped region
-        matrix = _load_matrix_striped(path, off, int(sum(sig_sizes)),
-                                      h.page_size, W)
         return cls(matrix=matrix, row_offsets=offsets,
                    sig_sizes=np.asarray(sig_sizes, dtype=np.uint64),
                    word_width=W, term_size=h.term_size,
                    canonicalize=h.canonicalize, num_hashes=num_hashes,
-                   page_size=h.page_size, file_names=h.file_names,
+                   page_size=page_size, file_names=h.file_names,
                    path=str(path))
 
     @classmethod
@@ -218,6 +234,48 @@ def _load_matrix_striped(path, payload_off: int, total_rows: int,
             buf = _write_stripe(buf, jnp.asarray(words), np.int32(r))
             r += n
     return buf
+
+
+def _load_matrix_coalesced(path, payload_off: int, sig_sizes: list,
+                           page_size: int, m: int):
+    """Load a compact payload with groups of `m` equal-signature pages
+    merged column-wise into rows of m*page_size bytes.
+
+    Merged page g row r = concat of member pages' row r (identical row
+    id per hash because the signature sizes are equal). m divides the
+    page count (fmt_compact.coalesce_factor), so every group is full
+    and the public score layout (counts_size, doc numbering) is
+    byte-identical to the unmerged load. Returns
+    (matrix u32 [rows'+1, W'], merged sig_sizes).
+    """
+    groups = [list(range(i, i + m))
+              for i in range(0, len(sig_sizes), m)]
+    merged_sigs = [int(sig_sizes[g[0]]) for g in groups]
+    W = _pad_words(-(-(page_size * m) // 4))
+    total_rows = sum(merged_sigs)
+    buf = _zeros_u32(total_rows + 1, W)
+    offs = np.zeros(len(sig_sizes) + 1, dtype=np.int64)
+    np.cumsum(np.asarray(sig_sizes, dtype=np.int64) * page_size,
+              out=offs[1:])
+    mm = np.memmap(path, dtype=np.uint8, mode="r", offset=payload_off,
+                   shape=(int(offs[-1]),))
+    rows_per = max(1, _UPLOAD_STRIPE_BYTES // (W * 4))
+    r_out = 0
+    for g, sig in zip(groups, merged_sigs):
+        r = 0
+        while r < sig:
+            n = min(rows_per, sig - r)
+            stripe = np.zeros((n, W * 4), dtype=np.uint8)
+            for j, p in enumerate(g):
+                blk = mm[offs[p] + r * page_size:
+                         offs[p] + (r + n) * page_size]
+                stripe[:, j * page_size:(j + 1) * page_size] = \
+                    blk.reshape(n, page_size)
+            buf = _write_stripe(buf, jnp.asarray(stripe.view("<u4")),
+                                np.int32(r_out + r))
+            r += n
+        r_out += sig
+    return buf, merged_sigs
 
 
 def create_hashes(queries: list[bytes], term_size: int, num_hashes: int,

@@ -1,0 +1,92 @@
+"""Mega-dispatch serving sweep on the real chip.
+
+Measures the production serving loop (Search.search_stream — hashing
+overlap + bounded in-flight window + multi-batch mega-dispatch) at
+interleaved (batch_size, mega_batches) configs in ONE process, taking
+the per-config best across rounds: the tunneled chip's effective rate
+drifts 50-74k q/s between processes (CLAUDE.md), so cross-process
+comparisons are meaningless.
+
+  python experiments/mega_serve_bench.py /root/bench_data/rand10k.cobs_classic \
+      --queries 32768 --rounds 3
+
+The r3 plateau being attacked: 6,486 q/s at B=2048 (device-hash top-k,
+single-batch dispatch) — the fixed per-dispatch+fetch cost through the
+tunnel. K batches per device program divide that cost by K.
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def random_queries(n, num_kmers, term_size=31, seed=0xC0B5):
+    rng = np.random.default_rng(seed)
+    length = num_kmers + term_size - 1
+    codes = rng.integers(0, 4, size=(n, length), dtype=np.uint8)
+    alphabet = np.frombuffer(b"ACGT", dtype=np.uint8)
+    return [bytes(alphabet[c]) for c in codes]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("index")
+    ap.add_argument("--num-kmers", type=int, default=1000)
+    ap.add_argument("--queries", type=int, default=32768)
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--limit", type=int, default=100,
+                    help="top-k per query (the reference default "
+                         "query mode is -t 0.8 -l 100)")
+    ap.add_argument("--configs",
+                    default="2048:1,2048:8,2048:16,1024:16,1024:1")
+    args = ap.parse_args()
+
+    from cobs_tpu.query.search import Search
+    from cobs_tpu.settings import settings
+
+    configs = [tuple(int(x) for x in c.split(":"))
+               for c in args.configs.split(",")]
+    queries = random_queries(args.queries, args.num_kmers)
+    print(f"index={args.index} queries={len(queries)} "
+          f"T={args.num_kmers} limit={args.limit}", flush=True)
+    s = Search(args.index)
+
+    def rep(B, mega, qs):
+        settings.mega_batches = mega
+        t0 = time.perf_counter()
+        n = 0
+        for _res in s.search_stream(qs, args.threshold, args.limit,
+                                    batch_size=B):
+            n += 1
+        dt = time.perf_counter() - t0
+        return n / dt, dt
+
+    # warmup: compile every (B, K-ladder) variant outside the clock
+    for B, mega in configs:
+        qps, dt = rep(B, mega, queries[:B * max(1, mega)])
+        print(f"warmup B={B} mega={mega}: {qps:.0f} q/s ({dt:.1f}s)",
+              flush=True)
+
+    best = {}
+    for rnd in range(1, args.rounds + 1):
+        for B, mega in configs:
+            qps, dt = rep(B, mega, queries)
+            tag = (B, mega)
+            best[tag] = max(best.get(tag, 0.0), qps)
+            print(f"round {rnd} B={B} mega={mega}: {qps:.0f} q/s "
+                  f"({dt:.1f}s)", flush=True)
+
+    for (B, mega), qps in sorted(best.items()):
+        print(f"RESULT name=mega_serve B={B} mega={mega} "
+              f"threshold={args.threshold} limit={args.limit} "
+              f"queries_per_s={qps:.1f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,171 @@
+"""Equal-size compact page coalescing (HBM re-layout).
+
+Pages whose Bloom signature sizes are equal probe the same row per
+hash, so DeviceIndex merges groups of m consecutive equal-size pages
+column-wise into one wider page at load time (engine._load_matrix_
+coalesced) — fewer, wider gathers for the same bits. These tests pin
+the merge-factor arithmetic and bit-exactness of the merged layout
+against the unmerged load (reference page layout:
+cobs/construction/compact_index.cpp:171-340).
+"""
+
+import numpy as np
+import pytest
+
+import cobs_tpu
+from cobs_tpu.fmt.compact import coalesce_factor
+from cobs_tpu.query.engine import DeviceIndex, create_hashes, score_batch
+from cobs_tpu.settings import settings
+
+
+@pytest.fixture(autouse=True)
+def _no_cache():
+    settings.disable_cache = True
+    yield
+    settings.disable_cache = False
+
+
+def test_coalesce_factor_arithmetic():
+    assert coalesce_factor([7]) == 1
+    assert coalesce_factor([7, 7, 7, 7]) == 4          # uniform: one page
+    assert coalesce_factor([7, 7, 9, 9]) == 2          # two equal runs
+    assert coalesce_factor([7, 7, 7, 9]) == 1          # break at 3 ∤ 4
+    assert coalesce_factor([7, 9, 7, 9]) == 1          # alternating
+    assert coalesce_factor([7, 7, 9, 9, 8, 8]) == 2    # three runs of 2
+    assert coalesce_factor([7, 7, 7, 9, 9, 9]) == 3
+    assert coalesce_factor([7, 7, 7, 7, 9, 9]) == 2    # gcd(6, 4) = 2
+    # every group must be a single size: factor divides ALL run breaks
+    assert coalesce_factor([7, 7, 9, 9, 9, 9, 8, 8]) == 2
+
+
+def _build_corpus(tmp_path, rng, doc_lens):
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    for i, n in enumerate(doc_lens):
+        seq = bases[rng.integers(0, 4, size=n)].tobytes()
+        (docs / f"d{i:03d}.fasta").write_bytes(b">s\n" + seq + b"\n")
+    return docs
+
+
+def _load_both(monkeypatch, idx):
+    monkeypatch.setenv("COBS_TPU_COALESCE_PAGES", "0")
+    plain = DeviceIndex.from_file(idx)
+    monkeypatch.delenv("COBS_TPU_COALESCE_PAGES")
+    merged = DeviceIndex.from_file(idx)
+    return plain, merged
+
+
+@pytest.mark.parametrize("layout", ["uniform", "two_runs"])
+def test_coalesced_scores_bit_exact(tmp_path, rng, monkeypatch, layout):
+    if layout == "uniform":
+        doc_lens = [300] * 64            # 4 pages, one signature size
+        want_merged_pages = 1
+    else:
+        doc_lens = [300] * 32 + [4000] * 32   # [a, a, b, b] -> m = 2
+        want_merged_pages = 2
+    docs = _build_corpus(tmp_path, rng, doc_lens)
+    idx = tmp_path / "x.cobs_compact"
+    cobs_tpu.compact_construct(
+        cobs_tpu.DocumentList(docs), idx,
+        index_params=cobs_tpu.CompactIndexParameters(
+            num_hashes=2, page_size=2, clobber=True))
+
+    plain, merged = _load_both(monkeypatch, idx)
+    assert plain.num_pages == 4
+    assert merged.num_pages == want_merged_pages
+    assert merged.counts_size == plain.counts_size
+    assert merged.docs_per_page * merged.num_pages == \
+        plain.docs_per_page * plain.num_pages
+    assert merged.file_names == plain.file_names
+
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    queries = [bases[rng.integers(0, 4, size=n)].tobytes()
+               for n in (31, 64, 200)]
+    # a real-positive query: a window of one of the documents
+    seq = (docs / "d000.fasta").read_bytes().splitlines()[1]
+    queries.append(seq[40:140])
+    hashes = create_hashes(queries, plain.term_size, plain.num_hashes,
+                           plain.canonicalize)
+    np.testing.assert_array_equal(
+        score_batch(merged, hashes), score_batch(plain, hashes))
+
+
+def test_unmergeable_layout_stays_unmerged(tmp_path, rng, monkeypatch):
+    # sizes [a, a, a, b]: the run break at 3 does not divide 4 pages
+    doc_lens = [300] * 48 + [4000] * 16
+    docs = _build_corpus(tmp_path, rng, doc_lens)
+    idx = tmp_path / "x.cobs_compact"
+    cobs_tpu.compact_construct(
+        cobs_tpu.DocumentList(docs), idx,
+        index_params=cobs_tpu.CompactIndexParameters(
+            num_hashes=1, page_size=2, clobber=True))
+    plain, merged = _load_both(monkeypatch, idx)
+    assert plain.num_pages == merged.num_pages == 4
+
+
+def test_repack_bit_exact_and_queryable(tmp_path, rng, monkeypatch):
+    """`cobs repack` materializes the merge into a real compact file:
+    identical scores through BOTH backends, valid format round-trip."""
+    from cobs_tpu.cli.main import main as cli_main
+    from cobs_tpu.fmt.compact import read_compact_header
+    from cobs_tpu.query.engine import StreamedIndex
+
+    docs = _build_corpus(tmp_path, rng, [500] * 64)  # 4 uniform pages
+    idx = tmp_path / "x.cobs_compact"
+    cobs_tpu.compact_construct(
+        cobs_tpu.DocumentList(docs), idx,
+        index_params=cobs_tpu.CompactIndexParameters(
+            num_hashes=2, page_size=2, clobber=True))
+    out = tmp_path / "wide.cobs_compact"
+    assert cli_main(["repack", str(idx), str(out)]) == 0
+
+    h0, _ = read_compact_header(idx)
+    h1, _ = read_compact_header(out)
+    assert h1.page_size == 4 * h0.page_size
+    assert len(h1.parameters) == 1
+    assert h1.file_names == h0.file_names
+    assert h1.parameters[0].signature_size == \
+        h0.parameters[0].signature_size
+
+    monkeypatch.setenv("COBS_TPU_COALESCE_PAGES", "0")
+    plain = DeviceIndex.from_file(idx)
+    repacked = DeviceIndex.from_file(out)
+    assert repacked.num_pages == 1
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    queries = [bases[rng.integers(0, 4, size=n)].tobytes()
+               for n in (31, 100, 333)]
+    hashes = create_hashes(queries, plain.term_size, plain.num_hashes,
+                           plain.canonicalize)
+    want = score_batch(plain, hashes)
+    np.testing.assert_array_equal(score_batch(repacked, hashes), want)
+    np.testing.assert_array_equal(StreamedIndex(out).score_batch(hashes),
+                                  want)
+
+    # --page-size target: pick the largest achievable <= the ask
+    out2 = tmp_path / "mid.cobs_compact"
+    from cobs_tpu.construct.compact import compact_repack
+    new_page = compact_repack(idx, out2,
+                              page_size=2 * h0.page_size + 1)
+    assert new_page == 2 * h0.page_size
+    h2, _ = read_compact_header(out2)
+    assert len(h2.parameters) == 2
+    rp2 = DeviceIndex.from_file(out2)
+    np.testing.assert_array_equal(score_batch(rp2, hashes), want)
+
+    # clobber contract
+    with pytest.raises(FileExistsError):
+        compact_repack(idx, out)
+
+
+def test_repack_rejects_unmergeable(tmp_path, rng):
+    from cobs_tpu.construct.compact import compact_repack
+
+    docs = _build_corpus(tmp_path, rng, [300] * 48 + [4000] * 16)
+    idx = tmp_path / "x.cobs_compact"
+    cobs_tpu.compact_construct(
+        cobs_tpu.DocumentList(docs), idx,
+        index_params=cobs_tpu.CompactIndexParameters(
+            num_hashes=1, page_size=2, clobber=True))
+    with pytest.raises(ValueError, match="unequal Bloom sizes"):
+        compact_repack(idx, tmp_path / "y.cobs_compact")
