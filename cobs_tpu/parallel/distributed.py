@@ -69,14 +69,18 @@ def barrier(name: str = "cobs") -> None:
 
 
 def partition_documents(doc_list, num_processes: int, process_id: int,
-                        by_size: bool = False):
+                        by_size: bool = False, align: int = 8):
     """Deterministic contiguous document slice for one process.
 
     The list is sorted (by path, or by size for compact construction so
     pages stay size-coherent) and split into `num_processes` contiguous
-    chunks rounded up to 8 documents — the same octet alignment the
-    batch machinery uses (reference: classic_index.cpp:143-148), so a
-    shard boundary never splits a byte column.
+    chunks rounded up to `align` documents. The default 8 is the octet
+    alignment the batch machinery uses (reference:
+    classic_index.cpp:143-148), so a shard boundary never splits a byte
+    column; compact construction passes align = 8*page_size so a shard
+    boundary never splits a PAGE either — each shard's pages are then
+    exactly the pages a single-process build would form, which is what
+    makes federated compact scores bit-identical (see construct()).
     """
     from cobs_tpu.ingest.document_list import DocumentList
 
@@ -84,7 +88,7 @@ def partition_documents(doc_list, num_processes: int, process_id: int,
     entries.sort(key=(lambda e: (e.size, e.path)) if by_size
                  else (lambda e: e.path))
     chunk = -(-len(entries) // max(1, num_processes))
-    chunk = max(8, (chunk + 7) // 8 * 8)
+    chunk = max(align, -(-chunk // align) * align)
     lo = min(process_id * chunk, len(entries))
     hi = min(lo + chunk, len(entries))
     part = DocumentList(entries=entries[lo:hi])
@@ -171,16 +175,40 @@ def construct(doc_list, out_prefix, kind: str = "classic",
                 f"{len(doc_list)} over {num_processes} processes")
         _classic_construct_sized(part, out, tmp_path, params)
     elif kind == "compact":
-        from cobs_tpu.construct.compact import compact_construct
+        import dataclasses
+        import math
 
+        from cobs_tpu.construct.compact import (
+            _round_up_pow2,
+            compact_construct,
+        )
+        from cobs_tpu.construct.params import CompactIndexParameters
+
+        params = index_params or CompactIndexParameters()
+        # global geometry: the page size a single-process build over the
+        # WHOLE corpus would pick (reference: compact_index.cpp:184-189),
+        # and shard boundaries on multiples of 8*page_size documents in
+        # global size order — every shard's pages (doc groups, fitted
+        # Bloom sizes, zero-padding placement) are then exactly the
+        # single build's pages, so federated (doc, score) results are
+        # bit-identical to it, FP noise included
+        # (tests/test_multihost_construct.py).
+        page_size = params.page_size
+        if page_size == 0:
+            page_size = _round_up_pow2(
+                int(math.sqrt(len(doc_list) / 8)))
+            page_size = min(max(page_size, 8), 4096)
+            params = dataclasses.replace(params, page_size=page_size)
         part = partition_documents(doc_list, num_processes, process_id,
-                                   by_size=True)
+                                   by_size=True, align=8 * page_size)
         if len(part) == 0:
             raise ValueError(
                 f"process {process_id} has no documents: corpus of "
-                f"{len(doc_list)} over {num_processes} processes")
+                f"{len(doc_list)} over {num_processes} processes is "
+                f"fewer than one {8 * page_size}-document page per "
+                "process — use a smaller page_size or fewer processes")
         compact_construct(part, out, tmp_path=tmp_path,
-                          index_params=index_params)
+                          index_params=params)
     else:
         raise ValueError(f"unknown index kind {kind!r}")
     return out

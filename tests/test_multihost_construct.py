@@ -82,23 +82,80 @@ def test_multihost_classic_federation_is_bit_exact(tmp_path):
             [(r.doc_name, r.score) for r in b]
 
 
-def test_multihost_compact_federation_positives(tmp_path):
-    """Compact shards fit pages to their own slice; positives (every
-    query k-mer present) must score full in the federation."""
-    d, seqs = _corpus(tmp_path, n_docs=24)
+@pytest.mark.parametrize("n_docs,page_size", [
+    (24, 1),
+    # 36 docs at 16 docs/page: the naive octet-rounded chunk (24) is
+    # NOT a page multiple — this config breaks without page alignment
+    (36, 2),
+])
+def test_multihost_compact_federation_is_bit_exact(tmp_path, n_docs,
+                                                   page_size):
+    """Compact shard boundaries align to whole pages (multiples of
+    8*page_size documents in global size order), so every shard's pages
+    are exactly the single-process build's pages and the federated
+    (doc, score) results match it bit for bit — FP noise included
+    (reference page machinery: cobs/construction/compact_index.cpp:
+    171-340)."""
+    d, seqs = _corpus(tmp_path, n_docs=n_docs)
+    dl = cobs_tpu.DocumentList(d)
+    single = tmp_path / "single.cobs_compact"
+    cobs_tpu.compact_construct(
+        dl, single, index_params=cobs_tpu.CompactIndexParameters(
+            clobber=True, page_size=page_size))
+
     prefix = tmp_path / "fedc"
     for i in range(2):
         distributed.construct(
             cobs_tpu.DocumentList(d), prefix, kind="compact",
             index_params=cobs_tpu.CompactIndexParameters(
-                clobber=True, page_size=1),
+                clobber=True, page_size=page_size),
             num_processes=2, process_id=i)
     fed = distributed.open_federated(prefix, 2, "compact")
-    for i in (0, 11, 23):
+    for i in (0, 11, n_docs - 1):
         q = seqs[i][:62].decode()
         r = fed.search(q, 0.8)
         assert r[0].doc_name == f"doc{i:03d}"
         assert r[0].score == 62 - 31 + 1
+
+    ref = Search(str(single))
+    queries = [seqs[0][:62].decode(), seqs[11][5:90].decode(),
+               seqs[n_docs - 1][:50].decode(), "ACGT" * 20]
+    want = ref.search_batch(queries, 0.0)
+    got = fed.search_batch(queries, 0.0)
+    for a, b in zip(got, want):
+        assert [(r.doc_name, r.score) for r in a] == \
+            [(r.doc_name, r.score) for r in b]
+
+
+def test_multihost_compact_global_default_page_size(tmp_path):
+    """With page_size unset, every shard must use the page size the
+    single-process build over the WHOLE corpus would pick, not one
+    fitted to its slice."""
+    from cobs_tpu.fmt.compact import read_compact_header
+
+    d, _ = _corpus(tmp_path, n_docs=24)
+    single = tmp_path / "single.cobs_compact"
+    cobs_tpu.compact_construct(
+        cobs_tpu.DocumentList(d), single,
+        index_params=cobs_tpu.CompactIndexParameters(clobber=True))
+    want_page = read_compact_header(single)[0].page_size
+
+    prefix = tmp_path / "fedd"
+    # 24 docs at the global default (8 B pages = 64 docs/page): one
+    # page total, so only a 1-process "partition" is constructible —
+    # the geometry contract is what's under test
+    p = distributed.construct(
+        cobs_tpu.DocumentList(d), prefix, kind="compact",
+        index_params=cobs_tpu.CompactIndexParameters(clobber=True),
+        num_processes=1, process_id=0)
+    assert read_compact_header(p)[0].page_size == want_page
+    # and a corpus with fewer docs than one page per process refuses
+    # rather than silently de-aligning
+    with pytest.raises(ValueError, match="fewer than one"):
+        distributed.construct(
+            cobs_tpu.DocumentList(d), tmp_path / "bad", kind="compact",
+            index_params=cobs_tpu.CompactIndexParameters(clobber=True),
+            num_processes=2, process_id=1)
 
 
 def test_federated_search_over_mesh_matches(tmp_path):
