@@ -678,8 +678,12 @@ def cmd_doctor(argv):
             out = np.empty((2, 16), dtype=np.uint8)
             if native.gather_rows_file(f.name, 0, 16,
                                        np.array([0, 4], np.int64),
-                                       out):
-                print("IO_URING OK: batched async row reads available")
+                                       out, dontcache=True):
+                dc = ("cache-bypass (RWF_DONTCACHE) reads available"
+                      if native.dontcache_supported()
+                      else "RWF_DONTCACHE unsupported here - cold "
+                           "benchmarks use per-batch eviction")
+                print(f"IO_URING OK: batched async row reads; {dc}")
             else:
                 print("IO_URING UNAVAILABLE: cold-cache streamed "
                       "queries fall back to threaded mmap (seccomp "
@@ -831,7 +835,7 @@ def cmd_benchmark_fpr(argv):
           f" results={len(last_result)}"
           f" batch={args.batch}"
           f" backend={'streamed' if backend is not None else 'device'}"
-          f" cold={'on' if args.cold else 'off'}"
+          f" cold={_cold_mode(args.cold)}"
           f" t_hashes={t.get('hashes')}"
           f" t_io={t.get('io')}"
           f" t_and={t.get('and rows')}"
@@ -842,6 +846,18 @@ def cmd_benchmark_fpr(argv):
     for score in sorted(counts):
         print(f"RESULT name=benchmark_fpr fpr={score} dist={counts[score]}")
     return 0
+
+
+def _cold_mode(cold: bool) -> str:
+    """Label the RESULT line with HOW cold was enforced: RWF_DONTCACHE
+    reads never touch the page cache (stable by construction, the
+    reference's O_DIRECT analog); the eviction fallback re-evicts per
+    batch and is noisier."""
+    if not cold:
+        return "off"
+    from cobs_tpu import native
+    return ("on-dontcache" if native.dontcache_supported()
+            else "on-evict")
 
 
 def cmd_generate_queries(argv):

@@ -116,7 +116,7 @@ def lib():
                                                i64, i64, i64, pi32, i32]
                 L.cobs_score_batch.restype = None
                 L.cobs_gather_rows_file.argtypes = [
-                    i32, i64, i64, pi64, i64, p8, i64, i32]
+                    i32, i64, i64, pi64, i64, p8, i64, i32, i32]
                 L.cobs_gather_rows_file.restype = i32
                 _lib = L
             except OSError as e:
@@ -246,21 +246,38 @@ def score_batch_host(base, row_bytes: int, rows, zero_id: int,
 #: once (seccomp / old kernel) — skip the syscall on later batches
 _uring_ok: bool | None = None
 
+#: RWF_DONTCACHE support memo: None = unprobed, False = the kernel or
+#: filesystem rejected the flag (reads completed through the cache)
+_dontcache_ok: bool | None = None
+
+
+def dontcache_supported() -> bool | None:
+    """Whether RWF_DONTCACHE reads worked on the last gather that
+    requested them (None before any such gather ran)."""
+    return _dontcache_ok
+
 
 def gather_rows_file(path: str, base_off: int, row_bytes: int, rows,
-                     out, depth: int = 256) -> bool:
+                     out, depth: int = 256,
+                     dontcache: bool = False) -> bool:
     """Batched async file reads: out[i] = file[base_off + rows[i]*rb].
 
     The analog of the reference's O_DIRECT AIO batch (reference:
     cobs/query/compact_index/aio_search_file.cpp:23-97): a deep
     io_uring queue keeps the disk busy with hundreds of scattered row
     reads instead of one synchronous page fault at a time per thread.
-    Returns False when io_uring (or the native library) is unavailable
-    — callers fall back to the threaded mmap gather.
+    dontcache=True additionally asks the kernel to drop each read's
+    pages once the IO completes (RWF_DONTCACHE — the buffered analog
+    of the reference's O_DIRECT open, aio_search_file.cpp:23-41), so a
+    cold-cache measurement loop never warms the cache it is measured
+    against; support is reported via :func:`dontcache_supported` and
+    the reads complete normally (through the cache) where the flag is
+    unavailable. Returns False when io_uring (or the native library)
+    is unavailable — callers fall back to the threaded mmap gather.
     """
     import numpy as np
 
-    global _uring_ok
+    global _uring_ok, _dontcache_ok
     L = lib()
     if L is None or _uring_ok is False:
         return False
@@ -280,16 +297,19 @@ def gather_rows_file(path: str, base_off: int, row_bytes: int, rows,
         rc = L.cobs_gather_rows_file(
             fd, base_off, row_bytes,
             rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            rows.size, _ptr8(out), out.shape[1], depth)
+            rows.size, _ptr8(out), out.shape[1], depth,
+            1 if dontcache else 0)
     finally:
         os.close(fd)
     if rc == -1:
         _uring_ok = False
         return False
-    if rc != 0:
+    if rc not in (0, 1):
         raise OSError(f"cobs_gather_rows_file IO error (rc={rc}) "
                       f"reading {path}")
     _uring_ok = True
+    if dontcache:
+        _dontcache_ok = rc == 0
     return True
 
 

@@ -680,6 +680,7 @@ void cobs_score_batch(const uint8_t* base, int64_t row_bytes,
 
 #if defined(__linux__) && __has_include(<linux/io_uring.h>)
 
+#include <errno.h>
 #include <linux/io_uring.h>
 #include <sys/mman.h>
 #include <sys/syscall.h>
@@ -771,14 +772,28 @@ bool pread_full(int fd, uint8_t* dst, int64_t len, int64_t off) {
 
 extern "C" {
 
+// Per-read page-cache bypass: the read's pages are dropped from the
+// cache once the IO completes (buffered O_DIRECT analog without the
+// alignment rules; kernel >= 6.14). The reference's AIO backend opens
+// the index O_DIRECT for the same reason — cold queries must not warm
+// the cache they are measured against (reference:
+// cobs/query/compact_index/aio_search_file.cpp:23-41, util/aio.cpp:
+// 25-39).
+#ifndef RWF_DONTCACHE
+#define RWF_DONTCACHE 0x00000080
+#endif
+
 // Gather n rows of row_bytes each from an open file: row i is read from
 // file offset base_off + rows[i]*row_bytes into out + i*out_stride.
-// Returns 0 on success, -1 when io_uring is unavailable (caller falls
-// back), -2 on hard IO error.
+// dontcache != 0 requests RWF_DONTCACHE reads (see above). Returns 0 on
+// success, 1 on success with dontcache requested but unsupported by the
+// kernel/filesystem (reads went through the cache), -1 when io_uring is
+// unavailable (caller falls back), -2 on hard IO error.
 int32_t cobs_gather_rows_file(int32_t fd, int64_t base_off,
                               int64_t row_bytes, const int64_t* rows,
                               int64_t n, uint8_t* out,
-                              int64_t out_stride, int32_t depth_arg) {
+                              int64_t out_stride, int32_t depth_arg,
+                              int32_t dontcache) {
     if (n <= 0) return 0;
     unsigned depth = 256;
     if (depth_arg > 0 && depth_arg <= 4096)
@@ -787,6 +802,7 @@ int32_t cobs_gather_rows_file(int32_t fd, int64_t base_off,
     if (!r.ok) return -1;
     int64_t submitted = 0, completed = 0;
     unsigned inflight_cap = r.p.sq_entries;
+    bool want_dontcache = dontcache != 0, flag_unsupported = false;
     int rc = 0;
     while (completed < n) {
         unsigned to_submit = 0;
@@ -804,6 +820,8 @@ int32_t cobs_gather_rows_file(int32_t fd, int64_t base_off,
             sqe->len = static_cast<unsigned>(row_bytes);
             sqe->off = static_cast<uint64_t>(
                 base_off + rows[submitted] * row_bytes);
+            if (want_dontcache && !flag_unsupported)
+                sqe->rw_flags = RWF_DONTCACHE;
             sqe->user_data = static_cast<uint64_t>(submitted);
             r.sq_array[idx] = idx;
             ++tail;
@@ -819,7 +837,15 @@ int32_t cobs_gather_rows_file(int32_t fd, int64_t base_off,
             io_uring_cqe* c = &r.cqes[head & *r.cq_mask];
             int64_t i = static_cast<int64_t>(c->user_data);
             if (c->res != static_cast<int32_t>(row_bytes)) {
-                // short read / error: finish this row synchronously
+                if (want_dontcache && !flag_unsupported &&
+                    (c->res == -EOPNOTSUPP || c->res == -EINVAL)) {
+                    // kernel or filesystem without RWF_DONTCACHE:
+                    // drop the flag for the rest of the batch and
+                    // report plain buffered completion to the caller
+                    flag_unsupported = true;
+                }
+                // short read / error / unsupported-flag retry: finish
+                // this row synchronously
                 if (!pread_full(fd, out + i * out_stride, row_bytes,
                                 base_off + rows[i] * row_bytes))
                     rc = -2;
@@ -829,6 +855,7 @@ int32_t cobs_gather_rows_file(int32_t fd, int64_t base_off,
         }
         store_release(r.cq_head, head);
     }
+    if (rc == 0 && want_dontcache && flag_unsupported) return 1;
     return rc;
 }
 
@@ -838,7 +865,8 @@ int32_t cobs_gather_rows_file(int32_t fd, int64_t base_off,
 
 extern "C" {
 int32_t cobs_gather_rows_file(int32_t, int64_t, int64_t, const int64_t*,
-                              int64_t, uint8_t*, int64_t, int32_t) {
+                              int64_t, uint8_t*, int64_t, int32_t,
+                              int32_t) {
     return -1;
 }
 }

@@ -1061,7 +1061,8 @@ class StreamedIndex:
         buf = np.zeros((n_real + 1, self._row_bytes), dtype=np.uint8)
         if not native.gather_rows_file(
                 self.path, self._payload_off, self._row_bytes,
-                uniq[:n_real], buf[:n_real]):
+                uniq[:n_real], buf[:n_real],
+                dontcache=self._drop_cache):
             return None
         # uniq is sorted, so a padding id (== total_rows) is last and
         # maps to index n_real — the buffer's zero row
@@ -1102,7 +1103,7 @@ class StreamedIndex:
             # cobs/query/compact_index/aio_search_file.cpp:23-97)
             if not (self._drop_cache and native.gather_rows_file(
                     self.path, self._payload_off, self._row_bytes,
-                    real, gathered[:n_real])):
+                    real, gathered[:n_real], dontcache=True)):
                 if not native.gather_rows(
                         self._payload, self._row_bytes, real,
                         gathered[:n_real], settings.threads):
@@ -1130,7 +1131,21 @@ class StreamedIndex:
         return p
 
     def _after_score(self):
-        return self.drop_cache if self._drop_cache else None
+        if not self._drop_cache:
+            return None
+
+        def evict():
+            from cobs_tpu import native
+
+            # RWF_DONTCACHE gathers never populate the cache, so the
+            # per-batch eviction (which can only re-warm measurement
+            # noise anyway) has nothing to do; the mmap fallback path
+            # still needs it
+            if native.dontcache_supported():
+                return
+            self.drop_cache()
+
+        return evict
 
     def _host_topk(self, scores, k: int):
         """Vectorized host top-k with the engine contract: combined

@@ -146,6 +146,53 @@ def test_uring_gather_bit_exact(tmp_path, fasta_dir):
     np.testing.assert_array_equal(out, np.asarray(st._payload[rows]))
 
 
+def test_uring_dontcache_gather_bit_exact(tmp_path, fasta_dir):
+    """RWF_DONTCACHE (cache-bypass) reads return identical bytes; on
+    kernels/filesystems without the flag the gather must still complete
+    (through the cache) and report unsupported rather than fail — the
+    reference's O_DIRECT-cold behavior (aio_search_file.cpp:23-41)."""
+    from cobs_tpu import native
+
+    idx = _mk(tmp_path, fasta_dir, "classic")
+    st = StreamedIndex(idx)
+    rng = np.random.default_rng(11)
+    rows = rng.integers(0, st.total_rows, size=300).astype(np.int64)
+    out = np.zeros((300, st._row_bytes), dtype=np.uint8)
+    if not native.gather_rows_file(st.path, st._payload_off,
+                                   st._row_bytes, rows, out,
+                                   dontcache=True):
+        pytest.skip("io_uring unavailable in this environment")
+    np.testing.assert_array_equal(out, np.asarray(st._payload[rows]))
+    # the probe ran, so support is now a definite boolean either way
+    assert native.dontcache_supported() in (True, False)
+
+
+def test_after_score_skips_eviction_under_dontcache(tmp_path, fasta_dir,
+                                                    monkeypatch):
+    """When DONTCACHE reads are active, the per-batch fadvise eviction
+    is a no-op (the reads never warmed the cache); without support the
+    eviction fallback must still run."""
+    from cobs_tpu import native
+
+    idx = _mk(tmp_path, fasta_dir, "classic")
+    cold = StreamedIndex(idx, drop_cache=True)
+    calls = []
+    monkeypatch.setattr(cold, "drop_cache", lambda: calls.append(1))
+
+    monkeypatch.setattr(native, "_dontcache_ok", True)
+    cb = cold._after_score()
+    assert cb is not None
+    cb()
+    assert calls == []
+
+    monkeypatch.setattr(native, "_dontcache_ok", False)
+    cold._after_score()()
+    assert calls == [1]
+
+    warm = StreamedIndex(idx)
+    assert warm._after_score() is None
+
+
 def test_search_streamed_golden(tmp_path, fasta_dir):
     idx = _mk(tmp_path, fasta_dir, "classic")
     s = Search(str(idx), streamed=True)
