@@ -377,8 +377,9 @@ def cmd_serve(argv):
                    help="TCP port (used when --socket is not given), "
                         "default: 7687")
     p.add_argument("-t", "--threshold", type=float, default=0.8,
-                   help="server score floor, default: 0.8; requests "
-                        "may only raise it")
+                   help="server score floor, default: 0.8 (requests "
+                        "above it are fast prefix cuts; below it, the "
+                        "batch re-ranks at the lower threshold)")
     p.add_argument("-l", "--limit", type=int, default=0,
                    help="top-k serving mode: cap results per query "
                         "on device, default: 0 = full ranking")

@@ -74,8 +74,9 @@ class QueryClient:
         """One query; raises ServerError if the server rejects it.
 
         threshold/num_results omitted = the server's configured
-        defaults (requests may only raise the threshold / lower the
-        cap — the server ranks each batch once at its floor).
+        defaults. Raising the threshold / lowering the cap is a fast
+        prefix cut on the server's floor-ranked batch; a threshold
+        below the floor re-ranks the batch (slower, still exact).
         """
         return self.search_batch([query], threshold, num_results,
                                  strict=True)[0]

@@ -169,6 +169,26 @@ class ResultList:
             n = min(n, int(limit))
         return ResultList(self._names, self._gidx[:n], self._scores[:n])
 
+    def cut_per_index(self, doc_bounds, min_scores) -> "ResultList":
+        """Refine with a PER-INDEX score floor (O(n) stable filter).
+
+        A heterogeneous federation (mixed term sizes) turns one
+        fractional threshold into a different minimum score per index
+        — the same per-index `ceil(t * num_terms)` the embedded rank
+        applies (Search._finish_batch) — so the refinement is a filter
+        keyed by each result's source index, not a prefix cut.
+        `doc_bounds` is the cumulative per-index document count (the
+        global-doc-id upper bound of each index); order is preserved,
+        so reference (score desc, doc asc) tie order survives.
+        """
+        if not len(self._gidx):
+            return self
+        idx_of = np.searchsorted(doc_bounds, self._gidx, side="right")
+        keep = self._scores >= np.asarray(
+            min_scores, dtype=np.int64)[idx_of]
+        return ResultList(self._names, self._gidx[keep],
+                          self._scores[keep])
+
 
 class Search:
     """Query one or more device-resident indices.

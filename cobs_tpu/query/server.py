@@ -28,9 +28,12 @@ queues keep single-batch dispatch for bounded latency. The scorer
 ranks every batch once at the server's configured floor (threshold
 `t_floor`, result cap `limit`); a request may RAISE the threshold or
 LOWER the cap — both are prefix cuts on the (score desc, doc asc)-
-sorted list (`ResultList.cut`), bit-exact by construction. Requests
-below the floor are rejected up front: the floor is the contract that
-lets every query in a batch share one device program.
+sorted list (`ResultList.cut`), bit-exact by construction. A request
+BELOW the floor lowers its whole batch's rank threshold instead (a
+slow path: a bigger ranked list, same single device program), and on
+mixed-term-size federations a raised threshold refines with a
+per-index score floor (`ResultList.cut_per_index`) — both exactly
+match what the embedded `Search` returns.
 
 Backpressure and isolation: each connection gets a reader thread and
 a bounded outbound queue drained by a writer thread, so one slow
@@ -183,8 +186,10 @@ class QueryServer:
     linger_ms : how long the batcher waits for stragglers after the
         first query of a batch arrives. 0 = score singletons
         immediately (lowest latency, lowest throughput).
-    threshold : the server's score floor (reference default 0.8);
-        per-request thresholds must be >= this.
+    threshold : the server's score floor (reference default 0.8) —
+        the threshold batches are ranked at. Per-request thresholds
+        above it are prefix cuts (fast); below it, the request's batch
+        ranks at the lower threshold (slow path, exact).
     num_results : 0 = full ranking; k > 0 = device top-k serving mode
         (per-request caps must be <= k).
     depth : dispatched-ahead batch window (bounded: unbounded async
@@ -259,10 +264,16 @@ class QueryServer:
         if not search.index_files:
             raise ValueError("QueryServer needs at least one index")
         term_sizes = {ix.term_size for ix in search.index_files}
-        # heterogeneous federations rank correctly at the floor, but a
-        # per-request threshold cannot be re-applied as one score cut
+        # uniform term size: per-request thresholds are one prefix cut;
+        # heterogeneous federations refine with a per-index score floor
+        # (ResultList.cut_per_index) instead
         self._uniform_ts = (term_sizes.pop()
                             if len(term_sizes) == 1 else None)
+        self._term_sizes = [ix.term_size for ix in search.index_files]
+        import numpy as np
+
+        self._doc_bounds = np.cumsum(
+            [len(ix.file_names) for ix in search.index_files])
         self._total_docs = sum(len(ix.file_names)
                                for ix in search.index_files)
         # deep-queue mega-dispatch ceiling (1 = per-batch dispatch):
@@ -477,7 +488,8 @@ class QueryServer:
                                  "bad_requests", "batch_failures",
                                  "overflowed_connections", "reloads",
                                  "failed_reloads", "stalled_rejects",
-                                 "mega_dispatches")}
+                                 "mega_dispatches",
+                                 "subfloor_batches")}
             with self._lock:
                 st.update(self._stats)
             st["stalled"] = self._stall_seconds() > 0
@@ -525,18 +537,9 @@ class QueryServer:
             conn.send({"id": rid, "error": "threshold must be a "
                        "number, num_results an integer"})
             return
-        if thr < self.t_floor:
+        if not (0.0 <= thr <= 1.0):
             conn.send({"id": rid, "error":
-                       f"threshold {thr} below the server floor "
-                       f"{self.t_floor} (start the server with a "
-                       "lower -t to allow it)"})
-            return
-        if thr > self.t_floor and self._uniform_ts is None:
-            conn.send({"id": rid, "error":
-                       "per-request thresholds need indices with one "
-                       "uniform term size; this server federates "
-                       "mixed term sizes — use the floor "
-                       f"{self.t_floor}"})
+                       "threshold must be in [0, 1]"})
             return
         if self.limit > 0 and (lim <= 0 or lim > self.limit):
             conn.send({"id": rid, "error":
@@ -666,7 +669,15 @@ class QueryServer:
                                                    self.limit)
                 for (g_items, qbytes, errors), pd in zip(metas,
                                                          pendings):
-                    inflight.append((g_items, qbytes, errors, pd))
+                    # sub-floor requests lower the whole batch's rank
+                    # threshold (slow path: a bigger ranked list);
+                    # floor-or-above batches keep the fast path
+                    t_rank = min([self.t_floor]
+                                 + [it[3] for it in g_items])
+                    if t_rank < self.t_floor:
+                        self._count("subfloor_batches")
+                    inflight.append((g_items, qbytes, errors, pd,
+                                     t_rank))
                 del hashed_group, metas, pendings, s
             except Exception as e:  # a resident server must survive
                 for g_items in groups:
@@ -706,13 +717,17 @@ class QueryServer:
         except Exception as e:
             self._fail_batch(entry[0], e)
 
-    def _emit(self, items, qbytes, errors, pending):
-        """Fetch + rank one batch at the floor, refine per request."""
+    def _emit(self, items, qbytes, errors, pending, t_rank=None):
+        """Fetch + rank one batch at its rank threshold (the floor,
+        or lower when the batch holds sub-floor requests), refine per
+        request."""
+        if t_rank is None:
+            t_rank = self.t_floor
         self._emit_ranked(items, qbytes, self.search._finish_batch(
-            qbytes, errors, pending, self.t_floor, self.limit,
-            self._total_docs))
+            qbytes, errors, pending, t_rank, self.limit,
+            self._total_docs), t_rank)
 
-    def _emit_ranked(self, items, qbytes, ranked):
+    def _emit_ranked(self, items, qbytes, ranked, t_rank=None):
         """Refine + send per item. Failures past this point answer
         ONLY their own item: a whole-batch retry would double-respond
         items already sent and desync the one-response-per-request
@@ -720,6 +735,8 @@ class QueryServer:
         now = time.monotonic()
         with self._lock:
             self._lat.extend((now - it[5]) * 1e3 for it in items)
+        if t_rank is None:
+            t_rank = self.t_floor
         for (conn, rid, _q, thr, lim, _t0), qb, res in zip(
                 items, qbytes, ranked):
             try:
@@ -727,20 +744,21 @@ class QueryServer:
                     self._count("query_errors")
                     conn.send({"id": rid, "error": res.message})
                     continue
-                if thr > self.t_floor:
-                    if self._uniform_ts is None:
-                        # a reload made the federation heterogeneous
-                        # after this request passed intake validation
-                        conn.send({"id": rid, "error":
-                                   "per-request thresholds need one "
-                                   "uniform term size; the index set "
-                                   "changed — retry at the floor "
-                                   f"{self.t_floor}"})
-                        continue
-                    # term count from the scored BYTES (len(str)
-                    # diverges for non-ASCII text-mode queries)
-                    num_terms = len(qb) - self._uniform_ts + 1
-                    res = res.cut(min_score=math.ceil(thr * num_terms))
+                if thr > t_rank:
+                    if self._uniform_ts is not None:
+                        # term count from the scored BYTES (len(str)
+                        # diverges for non-ASCII text-mode queries)
+                        num_terms = len(qb) - self._uniform_ts + 1
+                        res = res.cut(
+                            min_score=math.ceil(thr * num_terms))
+                    else:
+                        # mixed term sizes: one fraction -> a per-index
+                        # score floor, applied by source index (exactly
+                        # Search._finish_batch's per-index thresholds)
+                        res = res.cut_per_index(
+                            self._doc_bounds,
+                            [math.ceil(thr * max(len(qb) - ts + 1, 0))
+                             for ts in self._term_sizes])
                 if lim > 0:
                     res = res.cut(limit=lim)
                 conn.send({"id": rid, "results": res.pairs()})

@@ -182,7 +182,9 @@ def test_protocol_errors_and_control(served):
     c.sock.sendall(b"this is not json\n")
     assert "error" in c.recv()
     r = c.ask({"id": 2, "query": GOLDEN_QUERY, "threshold": -0.5})
-    assert "below the server floor" in r["error"]
+    assert "must be in [0, 1]" in r["error"]
+    r = c.ask({"id": "2b", "query": GOLDEN_QUERY, "threshold": 1.5})
+    assert "must be in [0, 1]" in r["error"]
     st = c.ask({"cmd": "stats", "id": 3})
     assert st["queries"] == 0 and st["batches"] == 0  # none scored
     assert st["bad_requests"] >= 2
@@ -192,6 +194,109 @@ def test_protocol_errors_and_control(served):
     st = c.ask({"cmd": "stats", "id": 5})
     assert st["lat_p50_ms"] > 0 and st["lat_p99_ms"] >= st["lat_p50_ms"]
     c.close()
+
+
+def test_subfloor_request_served_exactly(index_file, tmp_path):
+    """A request below the server floor lowers its batch's rank
+    threshold (slow path) and returns exactly the embedded Search's
+    results at that threshold; floor-or-above traffic in the same
+    session stays on the fast path and stays exact."""
+    direct = cobs_tpu.Search(str(index_file))
+    srv = QueryServer(cobs_tpu.Search(str(index_file)),
+                      unix_path=str(tmp_path / "floor.sock"),
+                      threshold=0.8, linger_ms=1.0)
+    with srv:
+        c = Client(srv.address)
+        # fast path first: at and above the floor
+        r = c.ask({"id": 0, "query": GOLDEN_QUERY})
+        assert r["results"] == expected(direct, GOLDEN_QUERY, 0.8)
+        r = c.ask({"id": 1, "query": GOLDEN_QUERY, "threshold": 0.9})
+        assert r["results"] == expected(direct, GOLDEN_QUERY, 0.9)
+        # sub-floor: full ranking at 0.0 through a 0.8-floor server
+        r = c.ask({"id": 2, "query": GOLDEN_QUERY, "threshold": 0.0})
+        assert r["results"] == expected(direct, GOLDEN_QUERY, 0.0)
+        assert len(r["results"]) == 7
+        r = c.ask({"id": 3, "query": GOLDEN_QUERY, "threshold": 0.05,
+                   "num_results": 3})
+        assert r["results"] == expected(direct, GOLDEN_QUERY, 0.05, 3)
+        # the fast path is untouched afterwards
+        r = c.ask({"id": 4, "query": GOLDEN_QUERY})
+        assert r["results"] == expected(direct, GOLDEN_QUERY, 0.8)
+        st = c.ask({"cmd": "stats", "id": 5})
+        assert st["subfloor_batches"] >= 1
+        assert st["subfloor_batches"] < st["batches"]
+        c.close()
+
+
+@pytest.fixture(scope="module")
+def hetero_indices(tmp_path_factory):
+    """Two indices over the same corpus with DIFFERENT term sizes —
+    the mixed federation the reference serves via multi-index query
+    (reference: cobs/query/classic_search.cpp:413-435)."""
+    tmp = tmp_path_factory.mktemp("hetero_idx")
+    fasta = tmp / "fasta"
+    shutil.copytree(DATA / "fasta", fasta)
+    out = []
+    settings.disable_cache = True
+    try:
+        for k in (31, 21):
+            p = tmp / f"idx{k}.cobs_classic"
+            cobs_tpu.classic_construct(
+                cobs_tpu.DocumentList(fasta), p,
+                index_params=cobs_tpu.ClassicIndexParameters(
+                    term_size=k, clobber=True))
+            out.append(str(p))
+    finally:
+        settings.disable_cache = False
+    return out
+
+
+def test_heterogeneous_federation_per_request_threshold(
+        hetero_indices, tmp_path):
+    """On a mixed-term-size federation a per-request threshold is a
+    PER-INDEX score floor (ceil(t * (|q| - ts + 1)) differs by index);
+    the served refinement must equal the embedded Search at every
+    threshold, above and below the floor."""
+    direct = cobs_tpu.Search(hetero_indices)
+    srv = QueryServer(cobs_tpu.Search(hetero_indices),
+                      unix_path=str(tmp_path / "het.sock"),
+                      threshold=0.5, linger_ms=1.0)
+    with srv:
+        c = Client(srv.address)
+        for i, thr in enumerate([0.5, 0.8, 0.95, 0.2, 0.0]):
+            r = c.ask({"id": i, "query": GOLDEN_QUERY,
+                       "threshold": thr})
+            assert r["results"] == \
+                expected(direct, GOLDEN_QUERY, thr), f"thr={thr}"
+        # threshold composes with a per-request result cap
+        r = c.ask({"id": "cap", "query": GOLDEN_QUERY,
+                   "threshold": 0.7, "num_results": 4})
+        assert r["results"] == expected(direct, GOLDEN_QUERY, 0.7, 4)
+        c.close()
+
+
+def test_cut_per_index_matches_filter():
+    """ResultList.cut_per_index == per-entry filtering by the source
+    index's floor, order preserved."""
+    import numpy as np
+
+    from cobs_tpu.query.search import ResultList
+
+    rng = np.random.default_rng(5)
+    names = [f"d{i}" for i in range(30)]
+    bounds = np.asarray([10, 18, 30])  # three indices
+    gidx = rng.permutation(30)
+    scores = np.sort(rng.integers(0, 50, size=30))[::-1]
+    # make it a validly-ranked list: score desc, gidx asc within ties
+    order = np.lexsort((gidx, -scores))
+    rl = ResultList(names, gidx[order], scores[order].astype(np.int64))
+    mins = [10, 25, 40]
+    got = rl.cut_per_index(bounds, mins)
+    want = [(n, s) for n, s in
+            zip([names[g] for g in rl._gidx], rl._scores.tolist())
+            if s >= mins[int(np.searchsorted(bounds, int(n[1:]),
+                                             side="right"))]]
+    assert [(r.doc_name, r.score) for r in got] == want
 
 
 def test_serve_forever_log_interval(index_file, tmp_path, capsys):
