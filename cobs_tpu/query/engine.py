@@ -630,7 +630,8 @@ def _slot_doc_numbers(idx: np.ndarray, w32: int,
                       docs_per_page: int) -> np.ndarray:
     """Flat padded score-slot ids -> global document numbers (the
     page-major numbering of score_batch's output)."""
-    return ((idx // w32) * docs_per_page + idx % w32).astype(np.int64)
+    idx = idx.astype(np.int64, copy=False)  # u16 fetches would overflow
+    return (idx // w32) * docs_per_page + idx % w32
 
 
 class PendingTopK:
@@ -652,7 +653,8 @@ class PendingTopK:
     def fetch(self):
         """(scores i32 [B, k], doc_numbers i64 [B, k]); the exact
         score_topk contract."""
-        vals = np.asarray(jax.block_until_ready(self._vals))[:self._B]
+        vals = _unshrink_topk_vals(
+            np.asarray(jax.block_until_ready(self._vals))[:self._B])
         idx = np.asarray(self._idx)[:self._B]
         docs = _slot_doc_numbers(idx, self._w32, self._docs_per_page)
         if self._after is not None:
@@ -760,7 +762,8 @@ def _hash_gather_count_topk(matrix, qdata, qlens, valid_mask,
     scores = _gather_count_planes(matrix, rows,
                                   num_hashes).reshape(rows.shape[0], -1)
     masked = jnp.where(valid_mask[None, :], scores, -1)
-    return jax.lax.top_k(masked, k)
+    vals, idx = jax.lax.top_k(masked, k)
+    return _shrink_topk(vals, idx, rows.shape[1], masked.shape[-1])
 
 
 def _device_hash_args(index: DeviceIndex, qb: QueryBytes,
@@ -1274,11 +1277,40 @@ def _doc_valid_mask(num_pages: int, word_width: int,
     return (local < docs_per_page) & (doc_number < n_files)
 
 
+
+def _shrink_topk(vals, idx, t_pad: int, n_slots: int):
+    """Narrow the top-k fetch for the device-to-host link.
+
+    vals are in [-1, t_pad] (-1 = masked padding slot), shipped +1 as
+    uint16 whenever the padded term count allows; slot ids fit uint16
+    whenever the padded slot count does. The tunneled D2H link measures
+    ~36 MB/s, so the naive i32+i32 [B, k] fetch (800 B/query at k=100)
+    rivals the device compute itself (~22 us/query, BASELINE r4);
+    uint16 ships 4x less. PendingTopK/PendingTopKView restore int32-1
+    on the host — bit-exact round trip, the top-k analog of
+    _shrink_scores (the reference's score-width tiering, reference:
+    cobs/query/classic_search.cpp:453-500)."""
+    if t_pad <= 65534:
+        vals = (vals + 1).astype(jnp.uint16)
+    if n_slots <= 65535:
+        idx = idx.astype(jnp.uint16)
+    return vals, idx
+
+
+def _unshrink_topk_vals(vals: np.ndarray) -> np.ndarray:
+    """Host half of _shrink_topk: restore the int32 [-1, T] contract."""
+    if vals.dtype == np.uint16:
+        return vals.astype(np.int32) - 1
+    return vals
+
+
 @functools.partial(jax.jit, static_argnames=("num_hashes", "k"))
 def _gather_count_topk(matrix, rows_idx, valid_mask, num_hashes, k):
     scores = _gather_and_count(matrix, rows_idx, num_hashes)
     masked = jnp.where(valid_mask[None, :], scores, -1)
-    return jax.lax.top_k(masked, k)
+    vals, idx = jax.lax.top_k(masked, k)
+    return _shrink_topk(vals, idx, rows_idx.shape[1],
+                        masked.shape[-1])
 
 
 def score_topk_async(index: DeviceIndex, hashes_list, k: int,
@@ -1425,7 +1457,7 @@ class PendingTopKView:
 
     def fetch(self):
         vals, idx = self._shared.get()
-        v = vals[self._g][:self._B]
+        v = _unshrink_topk_vals(vals[self._g][:self._B])
         docs = _slot_doc_numbers(idx[self._g][:self._B], self._w32,
                                  self._docs_per_page)
         return v, docs
@@ -1467,7 +1499,8 @@ def _hash_gather_count_topk_multi(matrix, qdata, qlens, valid_mask,
         scores = _gather_count_planes(matrix, rows, num_hashes) \
             .reshape(rows.shape[0], -1)
         masked = jnp.where(valid_mask[None, :], scores, -1)
-        return c, jax.lax.top_k(masked, k)
+        v, i = jax.lax.top_k(masked, k)
+        return c, _shrink_topk(v, i, rows.shape[1], masked.shape[-1])
 
     _, (vals, idx) = lax.scan(body, 0, (qdata, qlens))
     return vals, idx
@@ -1493,7 +1526,8 @@ def _gather_count_topk_multi(matrix, rows_idx, valid_mask, num_hashes,
         scores = _gather_count_planes(matrix, idx, num_hashes) \
             .reshape(idx.shape[0], -1)
         masked = jnp.where(valid_mask[None, :], scores, -1)
-        return c, jax.lax.top_k(masked, k)
+        v, i = jax.lax.top_k(masked, k)
+        return c, _shrink_topk(v, i, idx.shape[1], masked.shape[-1])
 
     _, (vals, idx) = lax.scan(body, 0, rows_idx)
     return vals, idx

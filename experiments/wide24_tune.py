@@ -90,18 +90,21 @@ def main():
     idxs_s, idxs_l = make(k_small), make(k_large)
     iters = k_large - k_small
 
-    variants = {"gather": make_scan(gather_step_fold)}
+    # rows actually gathered per query: block variants pad T_PAD up to
+    # a multiple of tc with zero rows, which still cost full HBM time
+    variants = {"gather": (make_scan(gather_step_fold), T_PAD)}
     for Bs, tc in GRID:
-        variants[f"Bs{Bs}/tc{tc}"] = make_scan(block_step(Bs, tc))
+        variants[f"Bs{Bs}/tc{tc}"] = (
+            make_scan(block_step(Bs, tc)), T_PAD + (-T_PAD) % tc)
 
     recs = {}
-    for name, f in variants.items():
+    for name, (f, rows_q) in variants.items():
         t0 = time.perf_counter()
         np.asarray(f(matrix, idxs_s))
         np.asarray(f(matrix, idxs_l))
         print(f"  compiled {name} ({time.perf_counter()-t0:.0f}s)",
               flush=True)
-        recs[name] = [f, float("inf"), float("inf")]
+        recs[name] = [f, float("inf"), float("inf"), rows_q]
 
     for r in range(ROUNDS):
         for name, rec in recs.items():
@@ -115,10 +118,10 @@ def main():
         print(f"  round {r+1}/{ROUNDS} done", flush=True)
 
     print(f"{'variant':>12}     q/s    GB/s")
-    for name, (f, bs, bl) in recs.items():
+    for name, (f, bs, bl, rows_q) in recs.items():
         dt = max(bl - bs, 1e-9)
         q = iters * B
-        gbps = q * T_PAD * H * W * 4 / dt / 1e9
+        gbps = q * rows_q * H * W * 4 / dt / 1e9
         print(f"{name:>12} {q/dt:8.1f}  {gbps:6.1f}", flush=True)
 
 

@@ -247,3 +247,40 @@ def test_resultlist_cut_and_pairs():
         for lim in (0, 3, 100):
             assert list(rl.cut(min_score=thr, limit=lim)) == want[:lim]
     assert list(rl.cut(limit=4)) == list(rl)[:4]
+
+
+def test_rank_sparse_batch_equals_per_query(tmp_path):
+    """The vectorized single-index top-k ranking (prefix length on the
+    already-sorted lax.top_k rows) must equal the general per-query
+    merge for every threshold."""
+    import numpy as np
+
+    import cobs_tpu
+
+    rng = np.random.default_rng(17)
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    for i in range(12):
+        seq = bases[rng.integers(0, 4, size=200)].tobytes()
+        (docs / f"d{i}.fasta").write_bytes(b">s\n" + seq + b"\n")
+    idx = tmp_path / "x.cobs_classic"
+    cobs_tpu.classic_construct(
+        cobs_tpu.DocumentList(docs), idx,
+        index_params=cobs_tpu.ClassicIndexParameters(clobber=True))
+    s = cobs_tpu.Search(str(idx))
+
+    B, k = 5, 7
+    # synthetic sorted top-k rows incl. -1 padding and score ties
+    v = np.sort(rng.integers(-1, 20, size=(B, k)))[:, ::-1] \
+        .astype(np.int32)
+    d = np.stack([np.sort(rng.choice(12, size=k, replace=False))
+                  for _ in range(B)]).astype(np.int64)
+    qbytes = [b"A" * (31 + rng.integers(0, 40)) for _ in range(B)]
+    for thr in (0.0, 0.1, 0.5, 1.0):
+        lims = s._sparse_lims(qbytes, thr)
+        fast = s._rank_sparse_batch(v, d, lims, k)
+        for b in range(B):
+            slow = s._rank_sparse([(v[b], d[b])], [int(lims[b])], k)
+            assert [(r.doc_name, r.score) for r in fast[b]] == \
+                [(r.doc_name, r.score) for r in slow], (b, thr)
