@@ -166,9 +166,12 @@ def pack_queries_2bit(qbytes: np.ndarray) -> np.ndarray:
     pad = (-L) % 4
     if pad:
         codes = np.pad(codes, ((0, 0), (0, pad)))  # 'A' = code 0
-    c = codes.reshape(B, -1, 4).astype(np.uint16)
+    # all-u8 arithmetic: codes are <= 3, so every shifted lane fits a
+    # byte — the u16 widen/narrow round trip doubled memory traffic
+    # over these multi-MB arrays for nothing (measured r4)
+    c = codes.reshape(B, -1, 4)
     return (c[..., 0] | (c[..., 1] << 2) | (c[..., 2] << 4)
-            | (c[..., 3] << 6)).astype(np.uint8)
+            | (c[..., 3] << 6))
 
 
 def decode_2bit_device(packed, L: int):

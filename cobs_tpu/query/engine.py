@@ -729,11 +729,25 @@ def _pack_query_bytes(queries: list[bytes], term_size: int,
     L_pad = T_max + term_size - 1
     qb = np.full((B_pad, L_pad), ord("A"), dtype=np.uint8)
     lens = np.zeros(B_pad, dtype=np.int32)
+    _fill_query_rows(qb, lens, queries)
+    return qb, lens, T_max
+
+
+def _fill_query_rows(qb: np.ndarray, lens: np.ndarray, queries) -> None:
+    """Copy query bytes into padded rows. Uniform-length batches (the
+    serving common case) fill with ONE C-level join+reshape copy; the
+    per-query loop costs ~3.5 us/query at scale (measured r4)."""
+    n = len(queries)
+    L0 = len(queries[0]) if n else 0
+    if n and all(len(q) == L0 for q in queries):
+        qb[:n, :L0] = np.frombuffer(
+            b"".join(queries), dtype=np.uint8).reshape(n, L0)
+        lens[:n] = L0
+        return
     for b, q in enumerate(queries):
         a = np.frombuffer(q, dtype=np.uint8)
         qb[b, :a.size] = a
         lens[b] = a.size
-    return qb, lens, T_max
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
@@ -1547,10 +1561,7 @@ def _multi_query_args(index: DeviceIndex, payloads: list):
                  dtype=np.uint8)
     lens = np.zeros((len(payloads), B_pad), dtype=np.int32)
     for g, p in enumerate(payloads):
-        for b, q in enumerate(p.queries):
-            a = np.frombuffer(q, dtype=np.uint8)
-            qb[g, b, :a.size] = a
-            lens[g, b] = a.size
+        _fill_query_rows(qb[g], lens[g], p.queries)
     qb, packed_len = _maybe_pack_2bit(index, qb)
     return (jnp.asarray(qb), jnp.asarray(lens), T_max,
             tuple(int(s) for s in index.sig_sizes),
