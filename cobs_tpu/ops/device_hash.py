@@ -237,6 +237,16 @@ def _valid_dna() -> np.ndarray:
     return ok
 
 
+def invalid_query_mask(arr: np.ndarray, canonicalize: int) -> np.ndarray:
+    """bool [B]: True where a row holds a non-ACGT byte — the
+    vectorized batch analog of validate_queries for uniform-length
+    batches (one LUT take + all() for the whole batch instead of
+    ~10 us/query of per-query Python, measured r4)."""
+    if canonicalize != 1:
+        return np.zeros(arr.shape[0], dtype=bool)
+    return ~_valid_dna()[arr].all(axis=1)
+
+
 def validate_queries(queries: list[bytes], term_size: int,
                      canonicalize: int) -> None:
     """Host-side error parity for the device-hash path: the reference

@@ -292,6 +292,22 @@ class Search:
         hashed = []
         for ix in self.index_files:
             if self._use_device_hash(ix, qbytes):
+                # batch fast path: uniform length, nothing flagged yet,
+                # every byte valid -> one vectorized check for the
+                # whole batch (the serving common case)
+                from cobs_tpu.ops.device_hash import invalid_query_mask
+
+                L0 = len(qbytes[0]) if qbytes else 0
+                if (qbytes and L0 >= max_term_size
+                        and all(e is None for e in errors)
+                        and all(len(q) == L0 for q in qbytes)):
+                    arr = np.frombuffer(b"".join(qbytes),
+                                        np.uint8).reshape(len(qbytes),
+                                                          L0)
+                    if not invalid_query_mask(arr,
+                                              ix.canonicalize).any():
+                        hashed.append(QueryBytes(list(qbytes)))
+                        continue
                 # same per-query leniency: a bad query's slot carries a
                 # valid 1-term dummy (scores discarded by the caller)
                 cleaned = []
