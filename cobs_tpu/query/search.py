@@ -581,6 +581,15 @@ class Search:
         DEPTH = 2   # bounded: unbounded async enqueue poisons
         # tunneled devices (see PendingScores)
         MEGA = self._mega_k()
+        if MEGA > 1 and num_results == 0:
+            # full-rank mega groups hold [K, B, slots] u16 score
+            # buffers until their fetch; cap K so the in-flight window
+            # (2 groups + current) stays within a fixed HBM budget —
+            # top-k groups are [K, B, k] and never bind
+            slots = max(ix.word_width * 32 * ix.num_pages
+                        for ix in self.index_files)
+            MEGA = max(1, min(MEGA, _MEGA_FULLRANK_BYTES
+                              // max(1, slots * 2 * batch_size)))
         total_docs = sum(len(ix.file_names) for ix in self.index_files)
 
         def hash_next():
@@ -621,10 +630,12 @@ class Search:
                 ready.append((qbytes, hashed, errors))
                 if len(ready) >= MEGA:
                     flush()
-                # window in batches: one mega group ahead stays
-                # dispatched while the previous drains (double
-                # buffering); MEGA == 1 reduces to the plain DEPTH
-                while len(inflight) > max(DEPTH, MEGA):
+                # window in batches: two mega groups ahead stay
+                # dispatched while the previous drains, so the device
+                # never idles through the host's fetch+rank+dispatch
+                # phase (bounded: unbounded enqueue poisons tunneled
+                # devices); MEGA == 1 reduces to the plain DEPTH
+                while len(inflight) > max(DEPTH, 2 * MEGA):
                     yield from finish(*inflight.popleft())
             if ready:
                 flush()
@@ -726,6 +737,12 @@ class Search:
             order = np.empty(0, dtype=np.int64)
         return ResultList(names, gidx[order],
                           scores[order].astype(np.int64))
+
+
+#: per-group device-buffer budget for FULL-RANK mega-dispatch (the
+#: [K, B, slots] u16 scores live in HBM until fetched; the stream keeps
+#: up to 2 groups + the current one in flight)
+_MEGA_FULLRANK_BYTES = 256 << 20
 
 
 #: alias matching the reference class name

@@ -683,8 +683,11 @@ class QueryServer:
                 for g_items in groups:
                     self._fail_batch(g_items, e)
                 continue
-            # keep one full group dispatched ahead (double buffering)
-            while len(inflight) > max(self.depth, len(groups)):
+            # keep two full groups dispatched ahead: the device then
+            # never idles through the scorer's fetch+rank+dispatch
+            # phase (measured +14% bulk serving, BASELINE r4); sparse
+            # traffic still drains immediately via the idle branch
+            while len(inflight) > max(self.depth, 2 * len(groups)):
                 self._emit_safe(inflight.popleft())
 
     def _do_reload(self, req: _Reload):

@@ -170,6 +170,40 @@ def test_search_stream_mega_matches_batch(classic_index, monkeypatch,
             [(r.doc_name, r.score) for r in w]
 
 
+def test_fullrank_mega_capped_by_hbm_budget(classic_index,
+                                             monkeypatch):
+    """Full-rank mega groups hold [K, B, slots] u16 buffers in HBM
+    until fetched; a tiny budget must cap the group size (bit-exact
+    results either way), and top-k groups must NOT be capped."""
+    import cobs_tpu.query.search as qs
+
+    monkeypatch.setattr(settings, "mega_batches", 8)
+    monkeypatch.setattr(qs, "_MEGA_FULLRANK_BYTES", 1)
+    s = Search(str(classic_index))
+    calls = []
+    orig = s._dispatch_multi_async
+
+    def spy(group, num_results):
+        calls.append(len(group))
+        return orig(group, num_results)
+
+    monkeypatch.setattr(s, "_dispatch_multi_async", spy)
+    queries = [q.decode() for qs_ in _batches(8, 3) for q in qs_]
+    want = s.search_batch(queries, 0.0, 0)
+    got = list(s.search_stream(iter(queries), 0.0, 0, batch_size=3))
+    assert not calls  # budget of 1 byte -> every dispatch single-batch
+    for g, w in zip(got, want):
+        assert [(r.doc_name, r.score) for r in g] == \
+            [(r.doc_name, r.score) for r in w]
+    # top-k is unaffected by the full-rank budget
+    got = list(s.search_stream(iter(queries), 0.0, 5, batch_size=3))
+    assert calls  # mega groups formed
+    want = s.search_batch(queries, 0.0, 5)
+    for g, w in zip(got, want):
+        assert [(r.doc_name, r.score) for r in g] == \
+            [(r.doc_name, r.score) for r in w]
+
+
 def _drain(sock_file, n):
     out = []
     while len(out) < n:
