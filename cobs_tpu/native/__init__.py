@@ -118,6 +118,10 @@ def lib():
                 L.cobs_gather_rows_file.argtypes = [
                     i32, i64, i64, pi64, i64, p8, i64, i32, i32]
                 L.cobs_gather_rows_file.restype = i32
+                L.cobs_format_results.argtypes = [
+                    p8, pi64, ctypes.c_void_p, ctypes.c_void_p, i64,
+                    p8, i64]
+                L.cobs_format_results.restype = i64
                 _lib = L
             except OSError as e:
                 print(f"cobs_tpu: native load failed ({e}); "
@@ -334,3 +338,55 @@ def gather_rows(base, row_bytes: int, rows, out, num_threads: int):
         rows.size,
         _ptr8(out), out.shape[1], num_threads)
     return True
+
+
+class ResultFormatter:
+    """GIL-free JSON serializer for ranked result lists (the serving
+    hot path: json.dumps measured 37-40 us per k=100 response and
+    bounded the server at ~25k responses/s/core; the native formatter
+    runs ~1-2 us). Holds the index's document names PRE-JSON-QUOTED in
+    one blob — construct once per index set; calls are thread-safe
+    (the server renders responses on per-connection writer threads so
+    serialization overlaps the scorer's device waits).
+
+    __call__(gidx, scores) -> the JSON fragment [["name",score],...]
+    as bytes, or None when the native runtime is unavailable (caller
+    falls back to json.dumps).
+    """
+
+    def __init__(self, names):
+        import json
+
+        import numpy as np
+
+        quoted = [json.dumps(n).encode() for n in names]
+        self._blob = b"".join(quoted)
+        offs = np.zeros(len(quoted) + 1, dtype=np.int64)
+        np.cumsum([len(q) for q in quoted], out=offs[1:])
+        self._offs = np.ascontiguousarray(offs)
+        self._max_name = max((len(q) for q in quoted), default=0)
+        self._np = np
+        self._L = lib()
+        if self._L is not None:
+            pi64 = ctypes.POINTER(ctypes.c_int64)
+            self._pblob = ctypes.cast(ctypes.c_char_p(self._blob),
+                                      ctypes.POINTER(ctypes.c_uint8))
+            self._poffs = self._offs.ctypes.data_as(pi64)
+            self._pi64 = pi64
+
+    def __call__(self, gidx, scores) -> bytes | None:
+        L = self._L
+        if L is None:
+            return None
+        np = self._np
+        gidx = np.ascontiguousarray(gidx, dtype=np.int64)
+        scores = np.ascontiguousarray(scores, dtype=np.int64)
+        n = gidx.size
+        cap = 2 + n * (26 + self._max_name)
+        buf = np.empty(cap, dtype=np.uint8)  # per call: thread-safe
+        w = L.cobs_format_results(
+            self._pblob, self._poffs, gidx.ctypes.data,
+            scores.ctypes.data, n, _ptr8(buf), cap)
+        if w < 0:
+            return None
+        return buf[:w].tobytes()

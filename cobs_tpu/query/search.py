@@ -169,6 +169,13 @@ class ResultList:
             n = min(n, int(limit))
         return ResultList(self._names, self._gidx[:n], self._scores[:n])
 
+    def serialize_with(self, formatter) -> bytes | None:
+        """JSON fragment [["name",score],...] via a native
+        ResultFormatter (the serving hot path — json.dumps of a k=100
+        response costs ~40 us of GIL time; the native formatter ~7).
+        None when the native runtime is unavailable."""
+        return formatter(self._gidx, self._scores)
+
     def cut_per_index(self, doc_bounds, min_scores) -> "ResultList":
         """Refine with a PER-INDEX score floor (O(n) stable filter).
 

@@ -57,6 +57,29 @@ from cobs_tpu.utils.timer import Timer
 _STOP = object()
 
 
+class _LazyResult:
+    """A result response rendered on the CONNECTION WRITER thread:
+    serialization (native ResultFormatter, json.dumps fallback) then
+    overlaps the scorer's device dispatch/fetch waits instead of
+    stealing scorer time."""
+
+    __slots__ = ("rid", "res", "fmt")
+
+    def __init__(self, rid, res, fmt):
+        self.rid = rid
+        self.res = res
+        self.fmt = fmt
+
+    def render(self) -> bytes:
+        frag = self.res.serialize_with(self.fmt)
+        if frag is None:
+            return (json.dumps({"id": self.rid,
+                                "results": self.res.pairs()})
+                    + "\n").encode()
+        return (b'{"id": %s, "results": %s}\n'
+                % (json.dumps(self.rid).encode(), frag))
+
+
 class _Reload:
     """Control item: swap the index set between batches."""
 
@@ -80,13 +103,18 @@ class _Conn:
     is an observable error.
     """
 
-    SEND_QUEUE = 1024
-
     def __init__(self, sock, server):
         self.sock = sock
         self.server = server
         self.alive = True
-        self._outq = queue.Queue(self.SEND_QUEUE)
+        # sized to absorb a full mega-group of responses enqueued
+        # back-to-back by the scorer (rendering happens lazily on THIS
+        # connection's writer thread, so the scorer's enqueue burst is
+        # instantaneous): a queue smaller than one burst would close
+        # healthy pipelining clients. Overflow still means a client
+        # persistently slower than the scorer -> close (the protocol
+        # is one response per request; dropping would desync forever).
+        self._outq = queue.Queue(server._send_queue)
         self._writer = threading.Thread(target=self._write_loop,
                                         daemon=True)
         self._writer.start()
@@ -122,8 +150,9 @@ class _Conn:
                 batch.append(nxt)
             if not self.alive:
                 continue  # drain without sending; producers never block
-            payload = "".join(
-                json.dumps(o) + "\n" for o in batch).encode()
+            payload = b"".join(
+                o.render() if isinstance(o, _LazyResult)
+                else (json.dumps(o) + "\n").encode() for o in batch)
             try:
                 self.sock.sendall(payload)
             except OSError:
@@ -279,6 +308,14 @@ class QueryServer:
         # deep-queue mega-dispatch ceiling (1 = per-batch dispatch):
         # recomputed on reload because the backend kind may change
         self._mega = search._mega_k()
+        self._send_queue = max(1024,
+                               2 * self.batch_size * self._mega + 64)
+        # native GIL-free response serializer (json.dumps of a k=100
+        # response costs ~40 us and capped the server at ~25k
+        # responses/s/core); None -> json.dumps fallback in _emit_ranked
+        from cobs_tpu import native
+
+        self._fmt = native.ResultFormatter(search._names)
         self.search = search
 
     # ------------------------------------------------------------ public
@@ -293,6 +330,16 @@ class QueryServer:
         """Start the accept loop and the scorer thread (non-blocking)."""
         if self._started:
             return
+        import sys
+
+        # the scorer's dispatch path is many short GIL-held numpy steps;
+        # with per-connection reader/writer threads also CPU-active, the
+        # default 5 ms GIL switch interval convoys each handoff into
+        # milliseconds (measured: 20 s of dispatch time on a 5 s serving
+        # run fell to 3.7 s at 0.5 ms). Serving favors scorer latency
+        # over raw background-thread throughput.
+        if sys.getswitchinterval() > 0.0005:
+            sys.setswitchinterval(0.0005)
         self._started = True
         self._accept_thread = threading.Thread(target=self._accept_loop,
                                                daemon=True)
@@ -604,10 +651,22 @@ class QueryServer:
         next batch, so sparse traffic sees latency = device time, not
         window depth.
         """
+        import time as _time
+
+        dbg = os.environ.get("COBS_TPU_SERVER_DEBUG")
+
+        def _mark(key, t0):
+            t1 = _time.perf_counter()
+            if dbg:
+                with self._lock:
+                    self._stats[key] += t1 - t0
+            return t1
+
         inflight = collections.deque()
         stopping = False
         reload_req = None
         while True:
+            t0 = _time.perf_counter()
             items = []
             if not stopping and reload_req is None:
                 block = not inflight
@@ -615,6 +674,7 @@ class QueryServer:
                     self._busy_since = None  # idle: nothing in flight
                 items, stopping, reload_req = \
                     self._next_batch(block=block)
+            t0 = _mark("t_assemble", t0)
             # every pass through here is progress; a scorer blocked
             # inside a dispatch/fetch/reload below lets this stamp go
             # stale, which intake reads as a stall (_stall_seconds)
@@ -622,6 +682,7 @@ class QueryServer:
             if not items:
                 if inflight:
                     self._emit_safe(inflight.popleft())
+                    _mark("t_drain_idle", t0)
                     continue
                 if reload_req is not None:
                     # window drained: no pending batch references the
@@ -650,6 +711,7 @@ class QueryServer:
                     groups.append(more)
                 else:
                     break
+            t0 = _mark("t_group", t0)
             try:
                 s = self.search
                 hashed_group, metas = [], []
@@ -665,8 +727,10 @@ class QueryServer:
                             sum(len(g) for g in groups))
                 if len(groups) > 1:
                     self._count("mega_dispatches")
+                t0 = _mark("t_hash", t0)
                 pendings = s._dispatch_group_async(hashed_group,
                                                    self.limit)
+                t0 = _mark("t_dispatch", t0)
                 for (g_items, qbytes, errors), pd in zip(metas,
                                                          pendings):
                     # sub-floor requests lower the whole batch's rank
@@ -689,6 +753,7 @@ class QueryServer:
             # traffic still drains immediately via the idle branch
             while len(inflight) > max(self.depth, 2 * len(groups)):
                 self._emit_safe(inflight.popleft())
+            _mark("t_drain", t0)
 
     def _do_reload(self, req: _Reload):
         """Rebuild the index set and swap (scorer thread, window empty).
@@ -764,7 +829,7 @@ class QueryServer:
                              for ts in self._term_sizes])
                 if lim > 0:
                     res = res.cut(limit=lim)
-                conn.send({"id": rid, "results": res.pairs()})
+                conn.send(_LazyResult(rid, res, self._fmt))
             except Exception as e:
                 self._count("batch_failures")
                 conn.send({"id": rid,

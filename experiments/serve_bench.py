@@ -19,7 +19,6 @@ Run on the real chip for device backends (no JAX_PLATFORMS override);
 import argparse
 import sys
 import tempfile
-import threading
 import time
 from pathlib import Path
 
@@ -46,9 +45,57 @@ def drive_direct(search, queries, threshold, limit, batch):
     return n / dt
 
 
+def _client_proc(sock, qs, out_q):
+    """One fully-pipelined near-zero-CPU client in its OWN process.
+
+    The whole measurement runs on ONE 4-core host that also carries
+    the device tunnel relay, and host CPU contention starves the relay
+    (CLAUDE.md) — so the bench client must cost ~nothing: requests are
+    pre-encoded before the clock-relevant exchange and responses are
+    COUNTED (newlines), not parsed, with the first/last line
+    spot-validated. This measures the SERVER's capacity, which is what
+    a deployment with remote clients sees."""
+    import json
+    import socket as socket_mod
+
+    payload = b"".join(
+        json.dumps({"id": i, "query": q}).encode() + b"\n"
+        for i, q in enumerate(qs))
+    c = socket_mod.socket(socket_mod.AF_UNIX, socket_mod.SOCK_STREAM)
+    c.connect(sock)
+    c.settimeout(600)
+    import threading
+
+    sender = threading.Thread(target=c.sendall, args=(payload,),
+                              daemon=True)
+    sender.start()
+    n = 0
+    first = b""
+    while n < len(qs):
+        chunk = c.recv(1 << 20)
+        if not chunk:
+            raise ConnectionError("server closed the connection")
+        if not first:
+            first = chunk
+        n += chunk.count(b"\n")
+    sender.join()
+    c.close()
+    assert n == len(qs), (n, len(qs))
+    r0 = json.loads(first.split(b"\n", 1)[0])
+    assert "results" in r0 or "error" in r0, r0
+    out_q.put(n)
+
+
 def drive_served(search, queries, threshold, limit, batch, clients,
-                 linger_ms):
-    from cobs_tpu.query.client import QueryClient
+                 linger_ms, warm):
+    import multiprocessing as mp
+    import os as _os
+    import sys as _sys
+
+    si = _os.environ.get("BENCH_SWITCHINTERVAL")
+    if si:
+        _sys.setswitchinterval(float(si))
+
     from cobs_tpu.query.server import QueryServer
 
     sock = str(Path(tempfile.mkdtemp()) / "bench.sock")
@@ -56,25 +103,33 @@ def drive_served(search, queries, threshold, limit, batch, clients,
                       num_results=limit, batch_size=batch,
                       linger_ms=linger_ms)
     per_client = [queries[i::clients] for i in range(clients)]
-    counts = [0] * clients
 
-    def worker(i):
-        with QueryClient(sock, timeout=600) as c:
-            qs = per_client[i]
-            for j in range(0, len(qs), batch):
-                counts[i] += len(c.search_batch(qs[j:j + batch]))
-
+    ctx = mp.get_context("fork")
+    out_q = ctx.Queue()
     with srv:
-        threads = [threading.Thread(target=worker, args=(i,))
-                   for i in range(clients)]
+        # warm the socket path (the scoring programs are already
+        # compiled by the caller's direct warmup)
+        wp = ctx.Process(target=_client_proc, args=(sock, warm, out_q))
+        wp.start()
+        out_q.get()
+        wp.join()
+        procs = [ctx.Process(target=_client_proc,
+                             args=(sock, per_client[i], out_q))
+                 for i in range(clients)]
         t0 = time.perf_counter()
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
+        for pr in procs:
+            pr.start()
+        total = sum(out_q.get() for _ in procs)
         dt = time.perf_counter() - t0
+        for pr in procs:
+            pr.join()
         p50, p99 = srv._latency_ms()
-    assert sum(counts) == len(queries), (sum(counts), len(queries))
+        t = search.timer_
+        print(f"DIAG stats={dict(srv._stats)} "
+              f"t_hashes={t.get('hashes'):.2f} t_io={t.get('io'):.2f} "
+              f"t_fetch={t.get('add rows'):.2f} "
+              f"t_sort={t.get('sort results'):.2f}", flush=True)
+    assert total == len(queries), (total, len(queries))
     return len(queries) / dt, p50, p99
 
 
@@ -94,13 +149,19 @@ def main():
     args = p.parse_args()
 
     import cobs_tpu
+    from cobs_tpu.settings import settings
 
     def open_search():
         return cobs_tpu.Search(
             args.index, streamed=True if args.streamed else False)
 
     queries = random_queries(args.queries, args.kmers)
-    warm = queries[:min(args.warmup, len(queries))]
+    # enough to form full mega groups, so every power-of-two K variant
+    # compiles outside the clock (a cold K-ladder compile inside the
+    # measured window once hid a 7x difference)
+    warm = queries[:min(max(args.warmup,
+                            args.batch * 2 * settings.mega_batches),
+                        len(queries))]
 
     base = f"batch={args.batch} limit={args.limit} " \
            f"kmers={args.kmers} queries={args.queries} " \
@@ -116,14 +177,21 @@ def main():
 
     direct_qps = None
     if not args.skip_direct:
+        s.timer_.reset()
         direct_qps = drive_direct(s, queries, args.threshold,
                                   args.limit, args.batch)
+        t = s.timer_
+        print(f"DIAG direct t_hashes={t.get('hashes'):.2f} "
+              f"t_io={t.get('io'):.2f} "
+              f"t_fetch={t.get('add rows'):.2f} "
+              f"t_sort={t.get('sort results'):.2f}", flush=True)
         print(f"RESULT mode=direct {base} "
               f"queries_per_s={direct_qps:.1f}", flush=True)
+    s.timer_.reset()
 
     served_qps, p50, p99 = drive_served(
         s, queries, args.threshold, args.limit, args.batch,
-        args.clients, args.linger_ms)
+        args.clients, args.linger_ms, warm)
     extra = ""
     if direct_qps:
         extra = (f" overhead_pct="

@@ -745,3 +745,25 @@ def test_stall_breaker_rejects_new_queries(served, monkeypatch):
     r = c2.ask({"id": "after", "query": GOLDEN_QUERY})
     assert r["results"] == expected(direct, GOLDEN_QUERY)
     c.close(), c2.close()
+
+
+def test_large_pipelined_burst_single_connection(index_file, tmp_path):
+    """A single connection pipelining more requests than several whole
+    batches must receive every response (the send queue absorbs a full
+    mega-group of back-to-back responses; regression: a fixed 1024
+    queue closed healthy bulk clients)."""
+    srv = QueryServer(cobs_tpu.Search(str(index_file)),
+                      unix_path=str(tmp_path / "burst.sock"),
+                      threshold=0.0, batch_size=8, linger_ms=1.0)
+    assert srv._send_queue >= 2 * 8 * srv._mega
+    with srv:
+        c = Client(srv.address)
+        n = srv._send_queue + 256  # strictly more than the queue
+        for i in range(n):
+            c.send({"id": i, "query": GOLDEN_QUERY})
+        got = [c.recv() for _ in range(n)]
+        assert [r["id"] for r in got] == list(range(n))
+        assert all(r["results"][0] == ["sample1", 20] for r in got)
+        st = c.ask({"cmd": "stats", "id": "s"})
+        assert st["overflowed_connections"] == 0
+        c.close()
