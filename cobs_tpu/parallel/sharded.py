@@ -138,28 +138,32 @@ class ShardedIndex:
     def zero_row(self) -> int:
         return self.matrix.shape[0] - 1
 
-    def _rows_idx(self, hashes_list) -> np.ndarray:
+    def _rows_idx(self, hashes_list, b_pad=None,
+                  t_pad=None) -> np.ndarray:
         from cobs_tpu.query.engine import _bucket  # late: avoid cycle
         ix = self.index
         n_batch = self.mesh.shape["batch"]
-        B_pad = _round_up(max(len(hashes_list), n_batch), n_batch)
-        T_max = _bucket(max(h.shape[0] for h in hashes_list))
+        B_pad = (_round_up(max(len(hashes_list), n_batch), n_batch)
+                 if b_pad is None else b_pad)
+        T_max = (_bucket(max(h.shape[0] for h in hashes_list))
+                 if t_pad is None else t_pad)
         rows_idx = np.full((B_pad, T_max, ix.num_hashes, ix.num_pages),
                            self.zero_row, dtype=np.int32)
         for b, hs in enumerate(hashes_list):
             rows_idx[b, :hs.shape[0]] = ix.row_indices(hs)
         return rows_idx
 
-    def _pack_queries(self, queries):
+    def _pack_queries(self, queries, b_pad=None, t_pad=None):
         """Pad raw query bytes to mesh-divisible [B_pad, L_pad] u8 +
         true lengths (the device-hash analog of _rows_idx; the batch
         axis rounds to the mesh's "batch" size instead of the
         single-chip jit bucket)."""
         from cobs_tpu.query.engine import _pack_query_bytes
         n_batch = self.mesh.shape["batch"]
-        b_pad = _round_up(max(len(queries), n_batch), n_batch)
+        if b_pad is None:
+            b_pad = _round_up(max(len(queries), n_batch), n_batch)
         qb, lens, _ = _pack_query_bytes(queries, self.index.term_size,
-                                        b_pad=b_pad)
+                                        b_pad=b_pad, t_pad=t_pad)
         return qb, lens
 
     def _hash_args(self):
@@ -211,6 +215,115 @@ class ShardedIndex:
         return PendingSharded(lambda: assemble_scores(
             _fetch(self.mesh, scores),
             self.index.docs_per_page)[:B])
+
+    def _group_shapes(self, payloads):
+        """Common (b_pad, t_pad) so K batches stack into one tensor
+        (one compiled program per group shape)."""
+        from cobs_tpu.query.engine import QueryBytes, _bucket
+        n_batch = self.mesh.shape["batch"]
+        b_pad = _round_up(max(max(len(p) for p in payloads), n_batch),
+                          n_batch)
+        if isinstance(payloads[0], QueryBytes):
+            k = self.index.term_size
+            t_pad = _bucket(max(len(q) for p in payloads
+                                for q in p.queries) - k + 1)
+        else:
+            t_pad = _bucket(max(h.shape[0] for p in payloads
+                                for h in p))
+        return b_pad, t_pad
+
+    def score_batch_multi_async(self, payloads) -> list:
+        """Mega-dispatch over the mesh: K batches in ONE shard_map
+        program (lax.scan inside the per-shard local, so the hot loop
+        stays collective-free). One PendingSharded per batch; the first
+        fetch materializes the whole group (engine._SharedFetch
+        discipline). Falls back to per-batch dispatch when the group is
+        sequence-parallel-eligible (seq split reshapes the mesh axes
+        per batch)."""
+        from cobs_tpu.query.engine import QueryBytes
+
+        if len(payloads) == 1 or any(self._seq_split(p)
+                                     for p in payloads):
+            return [self.score_batch_async(p) for p in payloads]
+        b_pad, t_pad = self._group_shapes(payloads)
+        if isinstance(payloads[0], QueryBytes):
+            L_pad = t_pad + self.index.term_size - 1
+            qbs, lens = [], []
+            for p in payloads:
+                qb, ln = self._pack_queries(p.queries, b_pad=b_pad,
+                                            t_pad=t_pad)
+                assert qb.shape[1] == L_pad
+                qbs.append(qb)
+                lens.append(ln)
+            with jax.enable_x64():
+                scores = score_sharded_from_queries_multi(
+                    self.mesh, self.matrix,
+                    jnp.asarray(np.stack(qbs)),
+                    jnp.asarray(np.stack(lens)), *self._hash_args())
+        else:
+            rows = np.stack([self._rows_idx(p, b_pad, t_pad)
+                             for p in payloads])
+            scores = score_sharded_multi(self.mesh, self.matrix,
+                                         jnp.asarray(rows),
+                                         self.index.num_hashes)
+        shared = _SharedMeshFetch(self.mesh, scores)
+
+        def finish_for(g, B):
+            return lambda: assemble_scores(
+                shared.get()[0][g], self.index.docs_per_page)[:B]
+
+        return [PendingSharded(finish_for(g, len(p)))
+                for g, p in enumerate(payloads)]
+
+    def score_topk_multi_async(self, payloads, k: int) -> list:
+        """Mega-dispatch top-k over the mesh (see
+        score_batch_multi_async); per-batch fetches share one
+        materialization and merge per-shard candidates on the host."""
+        from cobs_tpu.query.engine import QueryBytes, _doc_valid_mask
+
+        if len(payloads) == 1 or any(self._seq_split(p)
+                                     for p in payloads):
+            return [self.score_topk_async(p, k) for p in payloads]
+        ix = self.index
+        if self._topk_mask is None:
+            mask = _doc_valid_mask(ix.num_pages, self.word_width,
+                                   ix.docs_per_page, len(ix.file_names))
+            mask = mask.reshape(ix.num_pages, self.word_width, 32)
+            self._topk_mask = jax.device_put(
+                mask, NamedSharding(self.mesh, P(None, "docs", None)))
+        W32 = self.word_width * 32
+        k_eff = min(k, W32 // self.mesh.shape["docs"] * ix.num_pages)
+        b_pad, t_pad = self._group_shapes(payloads)
+        if isinstance(payloads[0], QueryBytes):
+            qbs, lens = [], []
+            for p in payloads:
+                qb, ln = self._pack_queries(p.queries, b_pad=b_pad,
+                                            t_pad=t_pad)
+                qbs.append(qb)
+                lens.append(ln)
+            with jax.enable_x64():
+                vals, gidx = _topk_sharded_from_queries_multi(
+                    self.mesh, self.matrix,
+                    jnp.asarray(np.stack(qbs)),
+                    jnp.asarray(np.stack(lens)), self._topk_mask,
+                    *self._hash_args(), k_eff)
+        else:
+            rows = np.stack([self._rows_idx(p, b_pad, t_pad)
+                             for p in payloads])
+            vals, gidx = _topk_sharded_multi(
+                self.mesh, self.matrix, jnp.asarray(rows),
+                self._topk_mask, ix.num_hashes, k_eff)
+        shared = _SharedMeshFetch(self.mesh, vals, gidx)
+
+        def finish_for(g, B):
+            def finish():
+                v, gi = shared.get()
+                return _merge_topk_host(v[g], gi[g], W32,
+                                        ix.docs_per_page, B, k)
+            return finish
+
+        return [PendingSharded(finish_for(g, len(p)))
+                for g, p in enumerate(payloads)]
 
     def _rows_idx_seq(self, hashes_list) -> np.ndarray:
         """Row ids for the sequence-parallel paths: [B, T_pad, h, P]
@@ -305,23 +418,47 @@ class ShardedIndex:
                                        k_eff)
 
         def finish():
-            v = _fetch(self.mesh, vals)[:B]
-            g = _fetch(self.mesh, gidx)[:B]
-            # merge the per-shard candidate lists per query
-            out_v = np.full((B, min(k, v.shape[1])), -1,
-                            dtype=np.int32)
-            out_d = np.zeros((B, out_v.shape[1]), dtype=np.int64)
-            doc_numbers = ((g // W32) * ix.docs_per_page
-                           + g % W32).astype(np.int64)
-            for b in range(B):
-                order = np.lexsort((doc_numbers[b],
-                                    -v[b].astype(np.int64)))
-                order = order[:out_v.shape[1]]
-                out_v[b] = v[b][order]
-                out_d[b] = doc_numbers[b][order]
-            return out_v, out_d
+            return _merge_topk_host(_fetch(self.mesh, vals),
+                                    _fetch(self.mesh, gidx), W32,
+                                    ix.docs_per_page, B, k)
 
         return PendingSharded(finish)
+
+
+class _SharedMeshFetch:
+    """One replicate-and-materialize shared by a mega-group's pending
+    handles (the mesh analog of engine._SharedFetch)."""
+
+    __slots__ = ("_mesh", "_dev", "_host")
+
+    def __init__(self, mesh, *dev):
+        self._mesh = mesh
+        self._dev = dev
+        self._host = None
+
+    def get(self) -> tuple:
+        if self._host is None:
+            self._host = tuple(_fetch(self._mesh, a) for a in self._dev)
+            self._dev = None
+        return self._host
+
+
+def _merge_topk_host(v, g, W32: int, docs_per_page: int, B: int,
+                     k: int):
+    """Merge one batch's per-shard top-k candidates [B_pad, shards*k]
+    into the engine.score_topk contract: (scores i32 [B, k'],
+    doc_numbers i64 [B, k']), reference (score desc, doc asc) order."""
+    v = v[:B]
+    g = g[:B]
+    out_v = np.full((B, min(k, v.shape[1])), -1, dtype=np.int32)
+    out_d = np.zeros((B, out_v.shape[1]), dtype=np.int64)
+    doc_numbers = ((g // W32) * docs_per_page + g % W32).astype(np.int64)
+    for b in range(B):
+        order = np.lexsort((doc_numbers[b], -v[b].astype(np.int64)))
+        order = order[:out_v.shape[1]]
+        out_v[b] = v[b][order]
+        out_d[b] = doc_numbers[b][order]
+    return out_v, out_d
 
 
 def score_sharded(mesh: Mesh, matrix: jax.Array, rows_idx: jax.Array,
@@ -607,3 +744,112 @@ def score_seq_sharded(mesh: Mesh, matrix: jax.Array, rows_idx: jax.Array,
         local, mesh=mesh,
         in_specs=(P(None, "docs"), P(None, "batch", None, None)),
         out_specs=P(None, None, "docs", None))(matrix, rows_idx)
+
+
+def score_sharded_multi(mesh: Mesh, matrix: jax.Array,
+                        rows_idx: jax.Array,
+                        num_hashes: int) -> jax.Array:
+    """K-batch mega-dispatch of score_sharded: rows_idx [K, B, T, h,
+    pages] -> scores [K, B, pages, W, 32]. The lax.scan lives INSIDE
+    the per-shard local, so the hot loop stays collective-free and the
+    fixed per-dispatch cost divides by K (engine's mega-dispatch
+    extended to the mesh)."""
+
+    def local(mat, idx):
+        def step(c, x):
+            return c, _gather_count_planes(mat, x, num_hashes)
+
+        _, out = lax.scan(step, 0, idx)
+        return out
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "docs"), P(None, "batch", None, None, None)),
+        out_specs=P(None, "batch", None, "docs", None))(matrix,
+                                                        rows_idx)
+
+
+def score_sharded_from_queries_multi(mesh: Mesh, matrix: jax.Array,
+                                     qbytes, qlens, term_size: int,
+                                     num_hashes: int,
+                                     canonicalize: int,
+                                     sig_sizes: tuple,
+                                     row_offsets: tuple) -> jax.Array:
+    """Device-hash variant of score_sharded_multi: qbytes [K, B, L].
+    Call under jax.enable_x64()."""
+    from cobs_tpu.ops.device_hash import rows_from_queries
+
+    zero_row = matrix.shape[0] - 1
+
+    def local(mat, qb, ql):
+        def step(c, x):
+            b, l = x
+            rows = rows_from_queries(b, l, term_size, num_hashes,
+                                     canonicalize, sig_sizes,
+                                     row_offsets, zero_row)
+            return c, _gather_count_planes(mat, rows, num_hashes)
+
+        _, out = lax.scan(step, 0, (qb, ql))
+        return out
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "docs"), P(None, "batch", None),
+                  P(None, "batch")),
+        out_specs=P(None, "batch", None, "docs", None))(matrix, qbytes,
+                                                        qlens)
+
+
+def _topk_sharded_multi(mesh: Mesh, matrix: jax.Array,
+                        rows_idx: jax.Array, valid_mask: jax.Array,
+                        num_hashes: int, k: int):
+    """K-batch mega-dispatch of _topk_sharded: [K, B, T, h, pages] ->
+    (vals, gidx) [K, B, shards*k]."""
+
+    def local(mat, idx, mask):
+        def step(c, x):
+            scores = _gather_count_planes(mat, x, num_hashes)
+            return c, _local_topk(scores, mask, k)
+
+        _, out = lax.scan(step, 0, idx)
+        return out
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "docs"), P(None, "batch", None, None, None),
+                  P(None, "docs", None)),
+        out_specs=(P(None, "batch", "docs"),
+                   P(None, "batch", "docs")))(matrix, rows_idx,
+                                              valid_mask)
+
+
+def _topk_sharded_from_queries_multi(mesh: Mesh, matrix: jax.Array,
+                                     qbytes, qlens, valid_mask,
+                                     term_size: int, num_hashes: int,
+                                     canonicalize: int,
+                                     sig_sizes: tuple,
+                                     row_offsets: tuple, k: int):
+    """Device-hash variant of _topk_sharded_multi (qbytes [K, B, L])."""
+    from cobs_tpu.ops.device_hash import rows_from_queries
+
+    zero_row = matrix.shape[0] - 1
+
+    def local(mat, qb, ql, mask):
+        def step(c, x):
+            b, l = x
+            rows = rows_from_queries(b, l, term_size, num_hashes,
+                                     canonicalize, sig_sizes,
+                                     row_offsets, zero_row)
+            scores = _gather_count_planes(mat, rows, num_hashes)
+            return c, _local_topk(scores, mask, k)
+
+        _, out = lax.scan(step, 0, (qb, ql))
+        return out
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "docs"), P(None, "batch", None),
+                  P(None, "batch"), P(None, "docs", None)),
+        out_specs=(P(None, "batch", "docs"),
+                   P(None, "batch", "docs")))(matrix, qbytes, qlens,
+                                              valid_mask)

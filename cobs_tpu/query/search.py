@@ -466,15 +466,14 @@ class Search:
 
     def _mega_k(self) -> int:
         """Batches per device program when the queue is deep (1 = no
-        mega-dispatch). >1 only for plain HBM-resident DeviceIndex
-        backends — the regime where the fixed per-dispatch+fetch cost
-        (not device work) bounds served throughput. Streamed backends
-        score on the host (no dispatch cost to amortize) and sharded
-        meshes keep per-batch dispatch for now."""
-        if self._sharded is not None:
-            return 1
-        if not all(isinstance(ix, DeviceIndex)
-                   for ix in self.index_files):
+        mega-dispatch). >1 for HBM-resident backends — plain
+        DeviceIndex and mesh-sharded (whose matrix is device-resident
+        regardless of the input backend) — the regime where the fixed
+        per-dispatch+fetch cost (not device work) bounds served
+        throughput. Streamed backends score on the host (no dispatch
+        cost to amortize)."""
+        if self._sharded is None and not all(
+                isinstance(ix, DeviceIndex) for ix in self.index_files):
             return 1
         return max(1, int(settings.mega_batches))
 
@@ -492,7 +491,15 @@ class Search:
         per_index = []
         for kx, ix in enumerate(self.index_files):
             payloads = [hashed_group[g][kx] for g in range(K)]
-            if num_results > 0:
+            if self._sharded is not None:
+                sh = self._sharded[kx]
+                self.timer_.active("io")
+                per_index.append(
+                    sh.score_topk_multi_async(payloads, num_results)
+                    if num_results > 0
+                    else sh.score_batch_multi_async(payloads))
+                self.timer_.stop()
+            elif num_results > 0:
                 per_index.append(score_topk_multi_async(
                     ix, payloads, num_results, self.timer_))
             else:

@@ -262,3 +262,78 @@ def test_server_mega_dispatch_under_burst(classic_index, monkeypatch):
         c.close()
     finally:
         srv.close()
+
+
+@pytest.mark.parametrize("kind", ["device_hash", "host_hash"])
+@pytest.mark.parametrize("num_results", [0, 4])
+def test_sharded_multi_batch_equal_per_batch(classic_index, kind,
+                                             num_results):
+    """Mesh mega-dispatch (K batches inside ONE shard_map program) is
+    bit-exact against per-batch sharded dispatch, for full-rank and
+    top-k, host- and device-hashed payloads."""
+    from cobs_tpu.parallel import ShardedIndex, make_mesh
+
+    dev = DeviceIndex.from_file(classic_index)
+    sh = ShardedIndex(dev, make_mesh(n_batch=2, n_docs=4),
+                      word_align=8)
+    groups = _batches(3, 4, seed=23)
+    if kind == "device_hash":
+        payloads = [QueryBytes(g) for g in groups]
+    else:
+        payloads = [create_hashes(g, dev.term_size, dev.num_hashes,
+                                  dev.canonicalize) for g in groups]
+    if num_results == 0:
+        multi = sh.score_batch_multi_async(payloads)
+        for p, pd in zip(payloads, multi):
+            np.testing.assert_array_equal(
+                pd.fetch(), sh.score_batch_async(p).fetch())
+    else:
+        multi = sh.score_topk_multi_async(payloads, num_results)
+        for p, pd in zip(payloads, multi):
+            vm, dm = pd.fetch()
+            v1, d1 = sh.score_topk_async(p, num_results).fetch()
+            np.testing.assert_array_equal(vm, v1)
+            np.testing.assert_array_equal(dm[vm >= 0], d1[v1 >= 0])
+
+
+def test_sharded_stream_mega_matches_batch(classic_index, monkeypatch):
+    """search_stream over a mesh with deep mega groups: identical
+    results to search_batch, including error slots."""
+    from cobs_tpu.parallel import make_mesh
+
+    monkeypatch.setattr(settings, "mega_batches", 4)
+    s = Search(str(classic_index), mesh=make_mesh(n_batch=2, n_docs=4))
+    assert s._mega_k() == 4
+    queries = [q.decode() for g in _batches(8, 3, seed=31) for q in g]
+    queries.insert(7, "ACGT")  # error slot
+    want = s.search_batch([q for q in queries if q != "ACGT"], 0.0, 5)
+    got = list(s.search_stream(iter(queries), 0.0, 5, batch_size=3))
+    errors = [g for g in got if isinstance(g, QueryError)]
+    good = [g for g in got if not isinstance(g, QueryError)]
+    assert len(errors) == 1
+    for g, w in zip(good, want):
+        assert [(r.doc_name, r.score) for r in g] == \
+            [(r.doc_name, r.score) for r in w]
+
+
+def test_sharded_multi_seq_split_falls_back(classic_index,
+                                            monkeypatch):
+    """A mega group holding a sequence-parallel-eligible batch must
+    fall back to per-batch dispatch (seq split reshapes the mesh axes)
+    and stay exact."""
+    from cobs_tpu.parallel import ShardedIndex, make_mesh
+
+    monkeypatch.setattr(settings, "seq_split_terms", 64)
+    dev = DeviceIndex.from_file(classic_index)
+    sh = ShardedIndex(dev, make_mesh(n_batch=2, n_docs=4),
+                      word_align=8)
+    long_q = [random_sequence(200, 7).encode()]   # 170 terms >= 64
+    short = _batches(1, 3, seed=40)[0]
+    payloads = [create_hashes(g, dev.term_size, dev.num_hashes,
+                              dev.canonicalize)
+                for g in (short, long_q)]
+    assert sh._seq_split(payloads[1])
+    multi = sh.score_batch_multi_async(payloads)
+    for p, pd in zip(payloads, multi):
+        np.testing.assert_array_equal(
+            pd.fetch(), sh.score_batch_async(p).fetch())
