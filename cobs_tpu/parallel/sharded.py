@@ -35,7 +35,8 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from cobs_tpu.query.engine import DeviceIndex, _gather_count_planes
+from cobs_tpu.query.engine import (DeviceIndex, _gather_count_planes,
+                                   _shrink_scores)
 
 
 @functools.lru_cache(maxsize=None)
@@ -478,8 +479,11 @@ def score_sharded(mesh: Mesh, matrix: jax.Array, rows_idx: jax.Array,
     def local(mat, idx):
         # the engine's chunked packed-CSA formulation on the local
         # shard: same 2x gather/count overlap and HBM bound as
-        # single-chip (see engine._gather_count_planes)
-        return _gather_count_planes(mat, idx, num_hashes)
+        # single-chip (see engine._gather_count_planes); the fetch
+        # narrows to u16 exactly like the single-chip transfer
+        # (engine._shrink_scores — scores are bounded by the term pad)
+        return _shrink_scores(
+            _gather_count_planes(mat, idx, num_hashes), idx.shape[1])
 
     return jax.shard_map(
         local, mesh=mesh,
@@ -508,7 +512,8 @@ def score_sharded_from_queries(mesh: Mesh, matrix: jax.Array, qbytes,
         rows = rows_from_queries(qb, ql, term_size, num_hashes,
                                  canonicalize, sig_sizes, row_offsets,
                                  zero_row)
-        return _gather_count_planes(mat, rows, num_hashes)
+        return _shrink_scores(
+            _gather_count_planes(mat, rows, num_hashes), rows.shape[1])
 
     return jax.shard_map(
         local, mesh=mesh,
@@ -711,10 +716,10 @@ def assemble_scores(scores: jax.Array, docs_per_page: int) -> np.ndarray:
     matching the reference's 8-aligned score offsets, reference:
     cobs/query/classic_search.cpp:413-429).
     """
-    s = np.asarray(scores)
+    s = np.asarray(scores).astype(np.int32, copy=False)
     B, Pp = s.shape[0], s.shape[1]
     s = s.reshape(B, Pp, -1)[:, :, :docs_per_page]
-    return s.reshape(B, Pp * docs_per_page)
+    return np.ascontiguousarray(s.reshape(B, Pp * docs_per_page))
 
 
 def score_seq_sharded(mesh: Mesh, matrix: jax.Array, rows_idx: jax.Array,
@@ -738,7 +743,11 @@ def score_seq_sharded(mesh: Mesh, matrix: jax.Array, rows_idx: jax.Array,
 
     def local(mat, idx):
         part = _gather_count_planes(mat, idx, num_hashes)
-        return lax.psum(part, "batch")
+        # psum in int32 (u16 partials could overflow mid-reduction);
+        # the fetch then narrows by the FULL term count
+        total = lax.psum(part, "batch")
+        return _shrink_scores(
+            total, idx.shape[1] * lax.axis_size("batch"))
 
     return jax.shard_map(
         local, mesh=mesh,
@@ -757,7 +766,8 @@ def score_sharded_multi(mesh: Mesh, matrix: jax.Array,
 
     def local(mat, idx):
         def step(c, x):
-            return c, _gather_count_planes(mat, x, num_hashes)
+            return c, _shrink_scores(
+                _gather_count_planes(mat, x, num_hashes), x.shape[1])
 
         _, out = lax.scan(step, 0, idx)
         return out
@@ -787,7 +797,9 @@ def score_sharded_from_queries_multi(mesh: Mesh, matrix: jax.Array,
             rows = rows_from_queries(b, l, term_size, num_hashes,
                                      canonicalize, sig_sizes,
                                      row_offsets, zero_row)
-            return c, _gather_count_planes(mat, rows, num_hashes)
+            return c, _shrink_scores(
+                _gather_count_planes(mat, rows, num_hashes),
+                rows.shape[1])
 
         _, out = lax.scan(step, 0, (qb, ql))
         return out
