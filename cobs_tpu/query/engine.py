@@ -482,6 +482,33 @@ def _plan_batch_tile(B: int, tc: int, h: int, P: int, W: int) -> int:
     return Bs
 
 
+def _plan_tile(B: int, T: int, h: int, P: int, W: int,
+               tc0: int | None) -> tuple[int, int | None]:
+    """Joint (Bs, tc) plan. Narrow rows keep the full batch and the
+    near-500 term chunk (tc0). In the wide-row regime (a full-batch
+    chunk would blow _FUSED_CHUNK_BYTES) the 24 KB-row grid sweep
+    (experiments/wide24_tune.py, r4) showed Bs = 8 — the count stage's
+    (8, 128) VREG sublane height — beats every other batch tile at
+    EVERY in-budget term chunk (128 GB/s at (8, 256) vs 52 at the old
+    tc-first plan's (2, 512); 110 at (16, 128); hard collapse above
+    ~64 MB chunks). So: fix Bs at the largest divisor of B <= 8, then
+    take the largest divisor-snapped term chunk that fits the budget;
+    fall back to the tc-first plan when even a CSA-floor chunk cannot
+    fit at that Bs."""
+    Bs = _plan_batch_tile(B, tc0 if tc0 else T, h, P, W)
+    if Bs == B or T <= 2 * _CSA_CHUNK:
+        return Bs, tc0
+    Bs8 = next((d for d in (8, 4, 2, 1) if B % d == 0), 1)
+    budget_tc = _FUSED_CHUNK_BYTES // max(Bs8 * h * P * W * 4, 1)
+    if budget_tc >= _CSA_CHUNK:
+        tc = _chunk_for(T, min(budget_tc, -(-T // 2)))
+        if tc < _CSA_CHUNK <= T // 2:
+            tc = -(-T // max(2, T // _CSA_CHUNK))
+        if tc >= _CSA_CHUNK and Bs8 * tc * h * P * W * 4                 <= _FUSED_CHUNK_BYTES:
+            return Bs8, tc
+    return Bs, tc0
+
+
 def _gather_count_block(matrix, rows_idx, num_hashes, tc):
     """rows block [Bs, T', h, P] -> [Bs, P, W, 32]; tc None = single
     shot, else T' % tc == 0 and the term axis streams through a
@@ -532,7 +559,8 @@ def _gather_count_planes(matrix: jax.Array, rows_idx: jax.Array,
     # 128-term chunks — off the measured 250-500 plateau — even though
     # batch tiling is about to bound the materialized block anyway
     budget_terms = _GATHER_BYTES_BUDGET // max(h * P * W * 4, 1)
-    tc = _plan_chunks(T, h, budget_terms)
+    tc0 = _plan_chunks(T, h, budget_terms)
+    Bs, tc = _plan_tile(B, T, h, P, W, tc0)
     pad = (-T) % tc if tc else 0
     if pad:
         # padding terms point at the all-zero last row
@@ -540,7 +568,6 @@ def _gather_count_planes(matrix: jax.Array, rows_idx: jax.Array,
             rows_idx,
             jnp.full((B, pad, h, P), matrix.shape[0] - 1, jnp.int32)],
             axis=1)
-    Bs = _plan_batch_tile(B, tc if tc else (T + pad), h, P, W)
     if Bs == B:
         return _gather_count_block(matrix, rows_idx, num_hashes, tc)
     sub = rows_idx.reshape(B // Bs, Bs, T + pad, h, P)

@@ -34,9 +34,7 @@ B, T, H = 64, 1000, 1
 T_PAD = _bucket(T)
 ROUNDS = 4
 LG_SIG, W = 17, 6144           # 24 KB rows, ~196k docs
-GRID = [(2, 342), (4, 342), (8, 342),
-        (4, 256), (8, 256),
-        (2, 512), (4, 512), (8, 512)]
+GRID = [(8, 256), (8, 128)]
 
 
 def make_scan(step):
@@ -53,6 +51,12 @@ def gather_step_fold(m, idx):
     g = jnp.take(m, rows, axis=0)               # [B, T_PAD, W]
     # cheap data-dependent fold (sum), forces the full gather
     return jnp.sum(g, axis=(1, 2), dtype=jnp.uint32).astype(jnp.int32)
+
+
+def prod_step(m, idx):
+    # the production planner's end-to-end path (joint (Bs, tc) plan)
+    from cobs_tpu.query.engine import _gather_and_count
+    return _gather_and_count(m, idx, H).sum(axis=1).astype(jnp.int32)
 
 
 def block_step(Bs, tc):
@@ -92,7 +96,8 @@ def main():
 
     # rows actually gathered per query: block variants pad T_PAD up to
     # a multiple of tc with zero rows, which still cost full HBM time
-    variants = {"gather": (make_scan(gather_step_fold), T_PAD)}
+    variants = {"gather": (make_scan(gather_step_fold), T_PAD),
+                "prod": (make_scan(prod_step), T_PAD + (-T_PAD) % 256)}
     for Bs, tc in GRID:
         variants[f"Bs{Bs}/tc{tc}"] = (
             make_scan(block_step(Bs, tc)), T_PAD + (-T_PAD) % tc)

@@ -200,3 +200,39 @@ def test_plan_chunks_csa_floor():
             n = -(-T // tc)
             assert n >= 2, (T, h, tc)
             assert n * tc - T < tc  # padding < one chunk
+
+
+def test_plan_tile_wide_row_regime():
+    """Joint (Bs, tc) plan: wide rows fix Bs at the sublane height 8
+    and re-pick the term chunk to fill the budget (r4 grid sweep:
+    (8, 256) = 128 GB/s vs the tc-first plan's (2, 512) = 52 at 24 KB
+    rows); narrow rows keep the full batch and near-500 chunks."""
+    from cobs_tpu.query.engine import (
+        _CSA_CHUNK,
+        _FUSED_CHUNK_BYTES,
+        _GATHER_BYTES_BUDGET,
+        _plan_chunks,
+        _plan_tile,
+    )
+
+    def plan(B, T, h, P, W):
+        bt = _GATHER_BYTES_BUDGET // max(h * P * W * 4, 1)
+        return _plan_tile(B, T, h, P, W, _plan_chunks(T, h, bt))
+
+    # the measured 24 KB-row optimum, exactly
+    assert plan(64, 1024, 1, 1, 6144) == (8, 256)
+    assert plan(64, 1000, 1, 1, 6144) == (8, 250)
+    # headline narrow shape: untouched full batch
+    Bs, tc = plan(64, 1024, 1, 1, 384)
+    assert Bs == 64 and tc is not None
+    # invariants across shapes: Bs divides B, chunk fits the budget,
+    # chunks never fall below the packed-CSA floor
+    for B in (1, 8, 64, 96):
+        for T in (300, 517, 1024, 4096):
+            for W in (128, 384, 6144, 24576):
+                Bs, tc = plan(B, T, 1, 1, W)
+                assert 1 <= Bs <= B and B % Bs == 0
+                if tc is not None:
+                    assert (Bs * tc * W * 4 <= _FUSED_CHUNK_BYTES
+                            or Bs == 1)
+                    assert tc >= _CSA_CHUNK or T // 2 < _CSA_CHUNK
