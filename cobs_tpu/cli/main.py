@@ -571,10 +571,21 @@ def cmd_info(argv):
         payload = sum(s * h.page_size for s in sigs)
         print(f"payload         {format_iec(payload)} "
               f"(starts page-aligned at {payload_off})")
+        m = fco.coalesce_factor(
+            [(p_.signature_size, p_.num_hashes)
+             for p_ in h.parameters])
+        if m > 1:
+            print(f"mergeable       groups of {m} equal-size pages -> "
+                  f"{m * h.page_size} B pages, bit-preserving "
+                  f"(`cobs repack`; the query engine merges in HBM "
+                  "automatically)")
         if h.page_size < 512:
+            extra = ("" if m * h.page_size >= 512
+                     else "; rebuild with --page-size >= 512 for "
+                          "query-heavy workloads")
             print(f"hint: {h.page_size} B pages pad to the 128-word "
                   "TPU lane tile at query time; page_size >= 512 "
-                  "queries up to 8x faster (docs/tutorial.md)")
+                  f"queries up to 8x faster (docs/tutorial.md){extra}")
         if args.scan:
             if payload_off + payload != size:
                 raise FileIOError(
