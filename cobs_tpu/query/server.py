@@ -150,9 +150,17 @@ class _Conn:
                 batch.append(nxt)
             if not self.alive:
                 continue  # drain without sending; producers never block
-            payload = b"".join(
-                o.render() if isinstance(o, _LazyResult)
-                else (json.dumps(o) + "\n").encode() for o in batch)
+            try:
+                payload = b"".join(
+                    o.render() if isinstance(o, _LazyResult)
+                    else (json.dumps(o) + "\n").encode()
+                    for o in batch)
+            except Exception:  # a render bug must not kill the
+                # writer thread silently (a dead writer = a hung
+                # connection); close it observably instead
+                self.server._count("batch_failures")
+                self.alive = False
+                continue
             try:
                 self.sock.sendall(payload)
             except OSError:
