@@ -214,8 +214,16 @@ def compact_repack(in_file, out_file, page_size: int = 0,
     Returns the new page size in bytes.
     """
     in_file, out_file = Path(in_file), Path(out_file)
-    if out_file.exists() and not clobber:
-        raise FileExistsError(f"{out_file} exists (use --clobber)")
+    if out_file.exists():
+        if out_file.resolve() == in_file.resolve():
+            # the payload is memory-mapped from in_file while the
+            # output is written: truncating the same inode would
+            # SIGBUS mid-copy AND destroy the input
+            raise ValueError(
+                "compact repack: output must differ from input "
+                "(the input is read while the output is written)")
+        if not clobber:
+            raise FileExistsError(f"{out_file} exists (use --clobber)")
     h, payload_off = fmt_compact.read_compact_header(in_file)
     keys = [(p.signature_size, p.num_hashes) for p in h.parameters]
     m = fmt_compact.coalesce_factor(keys)

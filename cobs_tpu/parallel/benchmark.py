@@ -96,7 +96,10 @@ def count_collectives(hlo_text: str) -> int:
     into the program."""
     n = 0
     for op in _COLLECTIVE_OPS:
-        n += len(re.findall(op + r"(?:-start)?\(", hlo_text))
+        # (?<![\w-]) keeps "all-to-all" from also matching inside
+        # "ragged-all-to-all" (which would double-count it)
+        n += len(re.findall(r"(?<![\w-])" + op + r"(?:-start)?\(",
+                            hlo_text))
     return n
 
 

@@ -157,8 +157,13 @@ class _Conn:
                     for o in batch)
             except Exception:  # a render bug must not kill the
                 # writer thread silently (a dead writer = a hung
-                # connection); close it observably instead
+                # connection); close the SOCKET so the client observes
+                # it (alive=False alone would leave readers blocked)
                 self.server._count("batch_failures")
+                try:
+                    self.sock.shutdown(socket.SHUT_RDWR)
+                except OSError:
+                    pass
                 self.alive = False
                 continue
             try:
@@ -314,8 +319,20 @@ class QueryServer:
         self._total_docs = sum(len(ix.file_names)
                                for ix in search.index_files)
         # deep-queue mega-dispatch ceiling (1 = per-batch dispatch):
-        # recomputed on reload because the backend kind may change
+        # recomputed on reload because the backend kind may change.
+        # Full-rank groups hold [K, B, slots] u16 score buffers in HBM
+        # until fetched — same budget cap as search_stream's
+        # (_MEGA_FULLRANK_BYTES; top-k groups are [K, B, k], unbound)
         self._mega = search._mega_k()
+        if self.limit == 0 and self._mega > 1:
+            from cobs_tpu.query.search import _MEGA_FULLRANK_BYTES
+
+            slots = max(ix.word_width * 32 * ix.num_pages
+                        for ix in search.index_files)
+            self._mega = max(1, min(
+                self._mega,
+                _MEGA_FULLRANK_BYTES
+                // max(1, slots * 2 * self.batch_size)))
         self._send_queue = max(1024,
                                2 * self.batch_size * self._mega + 64)
         # native GIL-free response serializer (json.dumps of a k=100
@@ -347,6 +364,7 @@ class QueryServer:
         # run fell to 3.7 s at 0.5 ms). Serving favors scorer latency
         # over raw background-thread throughput.
         if sys.getswitchinterval() > 0.0005:
+            self._prev_switchinterval = sys.getswitchinterval()
             sys.setswitchinterval(0.0005)
         self._started = True
         self._accept_thread = threading.Thread(target=self._accept_loop,
@@ -449,6 +467,13 @@ class QueryServer:
             c.finish()
         if self.unix_path is not None and os.path.exists(self.unix_path):
             os.unlink(self.unix_path)
+        prev = getattr(self, "_prev_switchinterval", None)
+        if prev is not None:
+            # the interval is process-global: an embedding application
+            # must not inherit serving's scheduling bias after close()
+            import sys
+
+            sys.setswitchinterval(prev)
 
     def __enter__(self):
         self.start()
@@ -799,8 +824,17 @@ class QueryServer:
         request."""
         if t_rank is None:
             t_rank = self.t_floor
+        # mixed-term-size federation in top-k mode: rank with the FULL
+        # per-index candidate budget (n_indices * k). Capping the
+        # merged list at k BEFORE the per-index threshold refinement
+        # would drop entries of one index that outrank the cut on
+        # their own floor (the embedded Search filters per index
+        # first); _emit_ranked re-applies the k cap after refinement.
+        rank_limit = self.limit
+        if self.limit > 0 and self._uniform_ts is None:
+            rank_limit = self.limit * len(self.search.index_files)
         self._emit_ranked(items, qbytes, self.search._finish_batch(
-            qbytes, errors, pending, t_rank, self.limit,
+            qbytes, errors, pending, t_rank, rank_limit,
             self._total_docs), t_rank)
 
     def _emit_ranked(self, items, qbytes, ranked, t_rank=None):

@@ -169,3 +169,18 @@ def test_repack_rejects_unmergeable(tmp_path, rng):
             num_hashes=1, page_size=2, clobber=True))
     with pytest.raises(ValueError, match="unequal Bloom sizes"):
         compact_repack(idx, tmp_path / "y.cobs_compact")
+
+
+def test_repack_rejects_same_path(tmp_path, rng):
+    """In-place repack would truncate the memmapped input (SIGBUS +
+    data loss); it must be refused up front."""
+    from cobs_tpu.construct.compact import compact_repack
+
+    docs = _build_corpus(tmp_path, rng, [300] * 16)
+    idx = tmp_path / "x.cobs_compact"
+    cobs_tpu.compact_construct(
+        cobs_tpu.DocumentList(docs), idx,
+        index_params=cobs_tpu.CompactIndexParameters(
+            num_hashes=1, page_size=1, clobber=True))
+    with pytest.raises(ValueError, match="must differ from input"):
+        compact_repack(idx, idx, clobber=True)

@@ -767,3 +767,65 @@ def test_large_pipelined_burst_single_connection(index_file, tmp_path):
         st = c.ask({"cmd": "stats", "id": "s"})
         assert st["overflowed_connections"] == 0
         c.close()
+
+
+def test_heterogeneous_topk_mode_per_request_threshold(tmp_path):
+    """Top-k mode on a mixed-term-size federation: the per-index
+    refinement must not lose entries to the merged floor-k cut (the
+    server ranks with the full n_indices*k candidate budget and
+    re-applies the cap after refinement). The corpus/seed are chosen
+    so that capping at k BEFORE the per-index refinement provably
+    diverges (query 8 at threshold 0.5 returns [] instead of a
+    passing k=31 hit crowded out by higher-scoring-but-failing k=21
+    entries) — mutation-checked."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    for i in range(32):
+        seq = bases[rng.integers(0, 4, size=400)].tobytes()
+        (docs / f"d{i:02d}.fasta").write_bytes(b">s\n" + seq + b"\n")
+    idxs = []
+    for k in (31, 21):
+        p = tmp_path / f"i{k}.cobs_classic"
+        cobs_tpu.classic_construct(
+            cobs_tpu.DocumentList(docs), p,
+            index_params=cobs_tpu.ClassicIndexParameters(
+                term_size=k, clobber=True))
+        idxs.append(str(p))
+    direct = cobs_tpu.Search(idxs)
+    queries = [bytes(bases[rng.integers(0, 4, size=70)]).decode()
+               for _ in range(20)]
+    # the embedded oracle for the known-divergent case
+    assert [(r.doc_name, r.score)
+            for r in direct.search(queries[8], 0.5, 4)] == [("d15", 21)]
+
+    srv = QueryServer(cobs_tpu.Search(idxs),
+                      unix_path=str(tmp_path / "hetk.sock"),
+                      threshold=0.0, num_results=4, linger_ms=1.0)
+    with srv:
+        c = Client(srv.address)
+        for qi, q in enumerate(queries):
+            for thr in (0.0, 0.2, 0.35, 0.5):
+                r = c.ask({"id": [qi, thr], "query": q,
+                           "threshold": thr})
+                assert r["results"] == expected(direct, q, thr, 4), \
+                    (qi, thr)
+        r = c.ask({"id": "k2", "query": queries[8],
+                   "threshold": 0.5, "num_results": 2})
+        assert r["results"] == expected(direct, queries[8], 0.5, 2)
+        c.close()
+
+
+def test_switch_interval_restored_on_close(index_file, tmp_path):
+    import sys
+
+    before = sys.getswitchinterval()
+    srv = QueryServer(cobs_tpu.Search(str(index_file)),
+                      unix_path=str(tmp_path / "si.sock"),
+                      threshold=0.0)
+    with srv:
+        assert sys.getswitchinterval() <= 0.0005
+    assert sys.getswitchinterval() == before
