@@ -1001,6 +1001,11 @@ def cmd_benchmark_scaling(argv):
               f"cpu_cores_busy={r['cpu_util'][n]:.2f}")
     for b, qps in sorted(r["per_b"].items()):
         print(f"RESULT batch_sweep B={b} queries_per_s={qps:.1f}")
+    full = r["per_n"].get(args.num_devices or max(r["per_n"]))
+    ratio = (f" vs_per_batch={r['mega_qps'] / full:.2f}"
+             if full else "")
+    print(f"RESULT mesh_mega batch={args.batch} K=8 "
+          f"queries_per_s={r['mega_qps']:.1f}{ratio}")
     cm = r["cost_model"]
     print(f"RESULT cost_model hbm_bytes_per_query_per_shard="
           f"{cm['hbm_bytes_per_query_per_shard']} "

@@ -33,7 +33,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from cobs_tpu.parallel.sharded import make_mesh, score_sharded
+from cobs_tpu.parallel.sharded import (make_mesh, score_sharded,
+                                        score_sharded_multi)
 
 
 def _bench_mesh(n_devices: int, sig_size: int, W_per_shard: int,
@@ -80,6 +81,40 @@ def _bench_mesh(n_devices: int, sig_size: int, W_per_shard: int,
     wall = time.perf_counter() - t0
     cpu_util = (time.process_time() - cpu0) / max(wall, 1e-9)
     return iters * B / wall, cpu_util
+
+
+def _bench_mesh_mega(n_devices: int, sig_size: int, W_per_shard: int,
+                     B: int, T: int, num_hashes: int, iters: int,
+                     K: int = 8) -> float:
+    """queries/s with K batches per shard_map program (the mesh
+    mega-dispatch, sharded.score_sharded_multi): per-dispatch overhead
+    divides by K — on the CPU proxy that overhead is small, so the
+    ratio over the per-batch rate mostly validates the path; on
+    tunneled/remote links it is the serving lever (BASELINE r4)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(n_batch=1, n_docs=n_devices,
+                     devices=jax.devices()[:n_devices])
+    W = W_per_shard * n_devices
+    key = jax.random.key(7)
+    matrix = jax.jit(
+        lambda k: jax.random.bits(
+            k, (sig_size + 1, W), dtype=jnp.uint32).at[-1].set(0),
+        out_shardings=NamedSharding(mesh, P(None, "docs")))(key)
+    jax.block_until_ready(matrix)
+    rng = np.random.default_rng(3)
+    buf = jax.device_put(
+        rng.integers(0, sig_size, size=(K, B, T, num_hashes, 1))
+        .astype(np.int32),
+        NamedSharding(mesh, P(None, "batch", None, None, None)))
+    jax.block_until_ready(
+        score_sharded_multi(mesh, matrix, buf, num_hashes))
+    t0 = time.perf_counter()
+    reps = max(1, iters // K)
+    for _ in range(reps):
+        out = score_sharded_multi(mesh, matrix, buf, num_hashes)
+    jax.block_until_ready(out)
+    return reps * K * B / (time.perf_counter() - t0)
 
 
 #: HLO collective instruction mnemonics (sync and async-start forms)
@@ -215,8 +250,10 @@ def benchmark_scaling(n_devices: int | None = None,
         else:
             per_b[b], _ = _bench_mesh(n_devices, sig_size, W_per_shard,
                                       b, T, num_hashes, iters)
+    mega_qps = _bench_mesh_mega(n_devices, sig_size, W_per_shard,
+                                B, T, num_hashes, iters)
     cm = cost_model(n_devices, W_per_shard, T, num_hashes, B)
     return {"per_n": per_n, "cpu_util": cpu_util, "efficiency": eff,
-            "per_b": per_b, "cost_model": cm,
+            "per_b": per_b, "mega_qps": mega_qps, "cost_model": cm,
             "compiled": compiled_hot_loop_report(n_devices),
             "predicted_efficiency": cm["predicted_efficiency"]}
