@@ -429,6 +429,52 @@ def test_randomized_parity_with_direct(tmp_path, rng):
                         [(r.doc_name, r.score) for r in w], (thr, lim)
 
 
+def test_randomized_hetero_parity_with_direct(tmp_path, rng):
+    """Randomized served-vs-embedded parity over a MIXED-term-size
+    federation, both serving modes, thresholds above and below the
+    floor — the bug class where per-index refinement interacts with
+    rank-time caps."""
+    import numpy as np
+
+    from cobs_tpu.query.client import QueryClient
+
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    for i in range(24):
+        seq = bases[rng.integers(0, 4, size=250 + 17 * i)].tobytes()
+        (docs / f"d{i:02d}.fasta").write_bytes(b">s\n" + seq + b"\n")
+    idxs = []
+    for k in (31, 23):
+        p = tmp_path / f"i{k}.cobs_classic"
+        cobs_tpu.classic_construct(
+            cobs_tpu.DocumentList(docs), p,
+            index_params=cobs_tpu.ClassicIndexParameters(
+                term_size=k, clobber=True))
+        idxs.append(str(p))
+    direct = cobs_tpu.Search(idxs)
+    queries = [bytes(bases[rng.integers(0, 4, size=n)]).decode()
+               for n in rng.integers(40, 150, size=24)]
+    for mode_limit in (0, 5):     # full-rank and top-k serving modes
+        srv = QueryServer(cobs_tpu.Search(idxs),
+                          unix_path=str(tmp_path
+                                        / f"hr{mode_limit}.sock"),
+                          threshold=0.3, num_results=mode_limit,
+                          linger_ms=1.0, batch_size=8)
+        with srv:
+            with QueryClient(srv.address) as c:
+                for thr in (0.0, 0.1, 0.3, 0.6, 0.9):
+                    lim = mode_limit or 0
+                    got = c.search_batch(
+                        queries, threshold=thr,
+                        num_results=mode_limit or None)
+                    want = direct.search_batch(queries, thr, lim)
+                    for q, g, w in zip(queries, got, want):
+                        assert [(r.doc_name, r.score) for r in g] == \
+                            [(r.doc_name, r.score) for r in w], \
+                            (mode_limit, thr, q)
+
+
 def test_tcp_endpoint_and_batching(index_file):
     s = cobs_tpu.Search(str(index_file))
     direct = cobs_tpu.Search(str(index_file))
