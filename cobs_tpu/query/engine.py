@@ -802,7 +802,7 @@ def _hash_gather_count_topk(matrix, qdata, qlens, valid_mask,
                              zero_row, packed_len)
     scores = _gather_count_planes(matrix, rows,
                                   num_hashes).reshape(rows.shape[0], -1)
-    masked = jnp.where(valid_mask[None, :], scores, -1)
+    masked = _mask_scores(scores, valid_mask)
     vals, idx = jax.lax.top_k(masked, k)
     return _shrink_topk(vals, idx, rows.shape[1], masked.shape[-1])
 
@@ -1319,6 +1319,32 @@ def _doc_valid_mask(num_pages: int, word_width: int,
 
 
 
+def _topk_mask(index) -> jax.Array:
+    """The device-resident valid-slot mask for top-k, cached on the
+    index. Deliberately FULL width: truncating it to the last
+    128-aligned real slot (12,288 -> 10,112 at 10k docs) made the
+    top-k 22% SLOWER in an interleaved A/B on chip — the padded
+    power-of-two-friendly slot count tiles the sort better than the
+    saved work is worth. Do not retry the slice."""
+    mask = getattr(index, "_valid_mask", None)
+    if mask is None:
+        mask = jax.device_put(_doc_valid_mask(
+            index.num_pages, index.word_width, index.docs_per_page,
+            len(index.file_names)))
+        index._valid_mask = mask
+    return mask
+
+
+def _mask_scores(scores, valid_mask):
+    """[B, slots] scores with invalid slots forced to -1 (a prefix
+    slice would also be legal here — measured slower, see
+    _topk_mask)."""
+    n_keep = valid_mask.shape[0]
+    if n_keep < scores.shape[1]:
+        scores = scores[:, :n_keep]
+    return jnp.where(valid_mask[None, :], scores, -1)
+
+
 def _shrink_topk(vals, idx, t_pad: int, n_slots: int):
     """Narrow the top-k fetch for the device-to-host link.
 
@@ -1348,7 +1374,7 @@ def _unshrink_topk_vals(vals: np.ndarray) -> np.ndarray:
 @functools.partial(jax.jit, static_argnames=("num_hashes", "k"))
 def _gather_count_topk(matrix, rows_idx, valid_mask, num_hashes, k):
     scores = _gather_and_count(matrix, rows_idx, num_hashes)
-    masked = jnp.where(valid_mask[None, :], scores, -1)
+    masked = _mask_scores(scores, valid_mask)
     vals, idx = jax.lax.top_k(masked, k)
     return _shrink_topk(vals, idx, rows_idx.shape[1],
                         masked.shape[-1])
@@ -1360,12 +1386,7 @@ def score_topk_async(index: DeviceIndex, hashes_list, k: int,
     score_topk contract (hashes_list may be a QueryBytes payload for
     device-side hashing). Same in-flight discipline as
     score_batch_async."""
-    mask0 = getattr(index, "_valid_mask", None)
-    if mask0 is None:
-        mask0 = jax.device_put(_doc_valid_mask(
-            index.num_pages, index.word_width, index.docs_per_page,
-            len(index.file_names)))
-        index._valid_mask = mask0
+    mask0 = _topk_mask(index)
     if isinstance(hashes_list, QueryBytes):
         B = len(hashes_list)
         dq, dl, T_max, sigs, offs, plen = _device_hash_args(
@@ -1539,7 +1560,7 @@ def _hash_gather_count_topk_multi(matrix, qdata, qlens, valid_mask,
                                  zero_row, packed_len)
         scores = _gather_count_planes(matrix, rows, num_hashes) \
             .reshape(rows.shape[0], -1)
-        masked = jnp.where(valid_mask[None, :], scores, -1)
+        masked = _mask_scores(scores, valid_mask)
         v, i = jax.lax.top_k(masked, k)
         return c, _shrink_topk(v, i, rows.shape[1], masked.shape[-1])
 
@@ -1566,7 +1587,7 @@ def _gather_count_topk_multi(matrix, rows_idx, valid_mask, num_hashes,
     def body(c, idx):
         scores = _gather_count_planes(matrix, idx, num_hashes) \
             .reshape(idx.shape[0], -1)
-        masked = jnp.where(valid_mask[None, :], scores, -1)
+        masked = _mask_scores(scores, valid_mask)
         v, i = jax.lax.top_k(masked, k)
         return c, _shrink_topk(v, i, idx.shape[1], masked.shape[-1])
 
@@ -1651,12 +1672,7 @@ def score_topk_multi_async(index: DeviceIndex, payloads: list, k: int,
     Same contract per handle as PendingTopK; same K-program discipline
     as score_batch_multi_async.
     """
-    mask = getattr(index, "_valid_mask", None)
-    if mask is None:
-        mask = jax.device_put(_doc_valid_mask(
-            index.num_pages, index.word_width, index.docs_per_page,
-            len(index.file_names)))
-        index._valid_mask = mask
+    mask = _topk_mask(index)
     k_eff = min(k, int(mask.shape[0]))
     if timer:
         timer.active("io")
