@@ -264,8 +264,13 @@ def test_server_mega_dispatch_under_burst(classic_index, monkeypatch):
         srv.close()
 
 
-@pytest.mark.parametrize("kind", ["device_hash", "host_hash"])
-@pytest.mark.parametrize("num_results", [0, 4])
+# (device_hash, 0) is omitted: the full-rank device-hash mesh multi
+# program costs ~130 s of CPU-backend compile alone and is already
+# exercised END TO END by test_sharded_stream_mega_matches_batch
+# (search_stream auto-selects device hashing over the mesh)
+@pytest.mark.parametrize("kind,num_results",
+                         [("device_hash", 4), ("host_hash", 0),
+                          ("host_hash", 4)])
 def test_sharded_multi_batch_equal_per_batch(classic_index, kind,
                                              num_results):
     """Mesh mega-dispatch (K batches inside ONE shard_map program) is
