@@ -35,6 +35,17 @@ def _round_up_pow2(x: int) -> int:
     return 1 if x <= 1 else 1 << (x - 1).bit_length()
 
 
+def default_page_size(num_documents: int) -> int:
+    """The reference's space-optimal compact page size
+    (round_up_pow2(sqrt(docs/8)) clamped to [8, 4096], reference:
+    cobs/construction/compact_index.cpp:184-189). One definition:
+    multi-host construction MUST compute the same value from the
+    global corpus, or shard boundaries leave the single build's page
+    grid and federated bit-exactness silently breaks."""
+    page_size = _round_up_pow2(int(math.sqrt(num_documents / 8)))
+    return min(max(page_size, 8), 4096)
+
+
 def compact_combine_into_compact(in_dir, out_file, page_size: int = 4096,
                                  memory: int = 8 << 30,
                                  keep_temporary: bool = False) -> None:
@@ -120,8 +131,7 @@ def compact_construct(doc_list: DocumentList, index_file, tmp_path=None,
 
     page_size = params.page_size
     if page_size == 0:
-        page_size = _round_up_pow2(int(math.sqrt(doc_list.size() / 8)))
-        page_size = min(max(page_size, 8), 4096)
+        page_size = default_page_size(doc_list.size())
 
     num_pages = -(-doc_list.size() // (8 * page_size))
     num_threads = max(1, params.num_threads)
@@ -215,10 +225,11 @@ def compact_repack(in_file, out_file, page_size: int = 0,
     """
     in_file, out_file = Path(in_file), Path(out_file)
     if out_file.exists():
-        if out_file.resolve() == in_file.resolve():
-            # the payload is memory-mapped from in_file while the
-            # output is written: truncating the same inode would
-            # SIGBUS mid-copy AND destroy the input
+        if os.path.samefile(in_file, out_file):
+            # same INODE (symlinks and hardlinks included): the payload
+            # is memory-mapped from in_file while the output is
+            # written — truncating it would SIGBUS mid-copy AND
+            # destroy the input
             raise ValueError(
                 "compact repack: output must differ from input "
                 "(the input is read while the output is written)")

@@ -111,9 +111,14 @@ def _bench_mesh_mega(n_devices: int, sig_size: int, W_per_shard: int,
         score_sharded_multi(mesh, matrix, buf, num_hashes))
     t0 = time.perf_counter()
     reps = max(1, iters // K)
+    outs = []
     for _ in range(reps):
-        out = score_sharded_multi(mesh, matrix, buf, num_hashes)
-    jax.block_until_ready(out)
+        outs.append(score_sharded_multi(mesh, matrix, buf, num_hashes))
+        if len(outs) > 2:  # bounded in-flight window: sustained
+            # unbounded async enqueue poisons tunneled devices and
+            # lets the clock run ahead of the work (CLAUDE.md)
+            jax.block_until_ready(outs.pop(0))
+    jax.block_until_ready(outs)
     return reps * K * B / (time.perf_counter() - t0)
 
 

@@ -176,11 +176,10 @@ def construct(doc_list, out_prefix, kind: str = "classic",
         _classic_construct_sized(part, out, tmp_path, params)
     elif kind == "compact":
         import dataclasses
-        import math
 
         from cobs_tpu.construct.compact import (
-            _round_up_pow2,
             compact_construct,
+            default_page_size,
         )
         from cobs_tpu.construct.params import CompactIndexParameters
 
@@ -195,9 +194,7 @@ def construct(doc_list, out_prefix, kind: str = "classic",
         # (tests/test_multihost_construct.py).
         page_size = params.page_size
         if page_size == 0:
-            page_size = _round_up_pow2(
-                int(math.sqrt(len(doc_list) / 8)))
-            page_size = min(max(page_size, 8), 4096)
+            page_size = default_page_size(len(doc_list))
             params = dataclasses.replace(params, page_size=page_size)
         part = partition_documents(doc_list, num_processes, process_id,
                                    by_size=True, align=8 * page_size)

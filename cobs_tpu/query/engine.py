@@ -807,16 +807,13 @@ def _hash_gather_count_topk(matrix, qdata, qlens, valid_mask,
     return _shrink_topk(vals, idx, rows.shape[1], masked.shape[-1])
 
 
-def _device_hash_args(index: DeviceIndex, qb: QueryBytes,
-                      b_pad: int | None = None,
-                      t_pad: int | None = None):
+def _device_hash_args(index: DeviceIndex, qb: QueryBytes):
     if index.matrix.shape[0] > np.iinfo(np.int32).max:
         # same guard as the host path's row_indices — device hashing
         # must not silently truncate row ids
         raise ValueError("index too large for int32 row addressing")
     qbytes, lens, T_max = _pack_query_bytes(qb.queries,
-                                            index.term_size,
-                                            b_pad=b_pad, t_pad=t_pad)
+                                            index.term_size)
     qbytes, packed_len = _maybe_pack_2bit(index, qbytes)
     return (jnp.asarray(qbytes), jnp.asarray(lens), T_max,
             tuple(int(s) for s in index.sig_sizes),

@@ -477,6 +477,21 @@ class Search:
             return 1
         return max(1, int(settings.mega_batches))
 
+    def _mega_k_capped(self, batch_size: int, num_results: int) -> int:
+        """_mega_k with the full-rank HBM budget applied: every
+        in-flight full-rank group holds one [K, B, slots] u16 score
+        buffer PER index (a federation multiplies the footprint), so
+        the cap divides the budget by the SUM of per-index slot
+        widths. Top-k groups ([K, B, k]) are never bound. The one
+        formula serves both search_stream and QueryServer."""
+        mega = self._mega_k()
+        if mega > 1 and num_results == 0:
+            slots = sum(ix.word_width * 32 * ix.num_pages
+                        for ix in self.index_files)
+            mega = max(1, min(mega, _MEGA_FULLRANK_BYTES
+                              // max(1, slots * 2 * batch_size)))
+        return mega
+
     def _dispatch_multi_async(self, hashed_group, num_results):
         """Mega-dispatch: K pre-hashed batches as ONE device program
         per index (engine.score_*_multi_async). Returns one pending
@@ -594,16 +609,7 @@ class Search:
         it = iter(queries)
         DEPTH = 2   # bounded: unbounded async enqueue poisons
         # tunneled devices (see PendingScores)
-        MEGA = self._mega_k()
-        if MEGA > 1 and num_results == 0:
-            # full-rank mega groups hold [K, B, slots] u16 score
-            # buffers until their fetch; cap K so the in-flight window
-            # (2 groups + current) stays within a fixed HBM budget —
-            # top-k groups are [K, B, k] and never bind
-            slots = max(ix.word_width * 32 * ix.num_pages
-                        for ix in self.index_files)
-            MEGA = max(1, min(MEGA, _MEGA_FULLRANK_BYTES
-                              // max(1, slots * 2 * batch_size)))
+        MEGA = self._mega_k_capped(batch_size, num_results)
         total_docs = sum(len(ix.file_names) for ix in self.index_files)
 
         def hash_next():

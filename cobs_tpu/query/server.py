@@ -318,23 +318,22 @@ class QueryServer:
             [len(ix.file_names) for ix in search.index_files])
         self._total_docs = sum(len(ix.file_names)
                                for ix in search.index_files)
-        # deep-queue mega-dispatch ceiling (1 = per-batch dispatch):
-        # recomputed on reload because the backend kind may change.
-        # Full-rank groups hold [K, B, slots] u16 score buffers in HBM
-        # until fetched — same budget cap as search_stream's
-        # (_MEGA_FULLRANK_BYTES; top-k groups are [K, B, k], unbound)
-        self._mega = search._mega_k()
-        if self.limit == 0 and self._mega > 1:
-            from cobs_tpu.query.search import _MEGA_FULLRANK_BYTES
-
-            slots = max(ix.word_width * 32 * ix.num_pages
-                        for ix in search.index_files)
-            self._mega = max(1, min(
-                self._mega,
-                _MEGA_FULLRANK_BYTES
-                // max(1, slots * 2 * self.batch_size)))
+        # deep-queue mega-dispatch ceiling (1 = per-batch dispatch),
+        # HBM-capped for full-rank federations — recomputed on reload
+        # because the backend kind may change; the formula lives on
+        # Search so the served and embedded paths can never diverge
+        self._mega = search._mega_k_capped(self.batch_size, self.limit)
         self._send_queue = max(1024,
                                2 * self.batch_size * self._mega + 64)
+        # a reload may RAISE the burst size (e.g. streamed -> device
+        # backend): live connections must grow their queues or the
+        # first mega burst would close them as overflowed
+        conns = getattr(self, "_conns", None)
+        if conns is not None:
+            with self._lock:
+                for c in conns:
+                    c._outq.maxsize = max(c._outq.maxsize,
+                                          self._send_queue)
         # native GIL-free response serializer (json.dumps of a k=100
         # response costs ~40 us and capped the server at ~25k
         # responses/s/core); None -> json.dumps fallback in _emit_ranked
