@@ -448,17 +448,42 @@ def _merge_topk_host(v, g, W32: int, docs_per_page: int, B: int,
                      k: int):
     """Merge one batch's per-shard top-k candidates [B_pad, shards*k]
     into the engine.score_topk contract: (scores i32 [B, k'],
-    doc_numbers i64 [B, k']), reference (score desc, doc asc) order."""
-    v = v[:B]
+    doc_numbers i64 [B, k']), reference (score desc, doc asc) order.
+
+    Vectorized over the batch with one composed-key argsort: documents
+    partition across shards, so doc numbers are unique per row and the
+    int64 key (score << 40) - doc orders exactly by (score desc, doc
+    asc) with no stability requirement. Replaces a per-query
+    np.lexsort that measured 0.49 s per 32k queries (BASELINE r4) —
+    on a real mesh at B=1024 that sort was the serving bottleneck."""
+    v = v[:B].astype(np.int64)
     g = g[:B]
-    out_v = np.full((B, min(k, v.shape[1])), -1, dtype=np.int32)
-    out_d = np.zeros((B, out_v.shape[1]), dtype=np.int64)
-    doc_numbers = ((g // W32) * docs_per_page + g % W32).astype(np.int64)
-    for b in range(B):
-        order = np.lexsort((doc_numbers[b], -v[b].astype(np.int64)))
-        order = order[:out_v.shape[1]]
-        out_v[b] = v[b][order]
-        out_d[b] = doc_numbers[b][order]
+    kk = min(k, v.shape[1])
+    doc = (g.astype(np.int64) // W32) * docs_per_page + g % W32
+    if v.size and (int(v.max()) >= 1 << 23 or int(doc.max()) >= 1 << 40):
+        # composed key would overflow (queries beyond 8M terms or >1T
+        # doc slots); keep the exact 2-key path for that regime
+        out_v = np.empty((B, kk), dtype=np.int32)
+        out_d = np.empty((B, kk), dtype=np.int64)
+        for b in range(B):
+            order = np.lexsort((doc[b], -v[b]))[:kk]
+            out_v[b] = v[b][order]
+            out_d[b] = doc[b][order]
+        return out_v, out_d
+    # keys are unique per row (docs partition across shards), so an
+    # unstable sort is exact; selecting the k winners first
+    # (argpartition, O(S)) and sorting only those measured 2.7x over
+    # the full row argsort at [1024, 800] -> 100
+    key = doc - (v << 40)
+    if kk < key.shape[1]:
+        part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+        pkey = np.take_along_axis(key, part, axis=1)
+        order = np.take_along_axis(part, np.argsort(pkey, axis=1),
+                                   axis=1)
+    else:
+        order = np.argsort(key, axis=1)
+    out_v = np.take_along_axis(v, order, axis=1).astype(np.int32)
+    out_d = np.take_along_axis(doc, order, axis=1)
     return out_v, out_d
 
 

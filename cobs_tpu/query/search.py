@@ -396,14 +396,9 @@ class Search:
                     num_results)
                 self.timer_.stop()
                 return out
-            out = []
-            for b in range(B):
-                thr = [math.ceil(threshold *
-                                 (len(qbytes[b]) - ix.term_size + 1))
-                       for ix in self.index_files]
-                out.append(self._rank_sparse(
-                    [(v[b], d[b]) for v, d in per_index], thr,
-                    num_results))
+            out = self._rank_sparse_multi(
+                per_index, self._sparse_lims_multi(qbytes, threshold),
+                num_results)
             self.timer_.stop()
             return out
         per_index_scores = []
@@ -550,11 +545,17 @@ class Search:
         self.timer_.active("sort results")
         out = []
         ranked = None
-        if num_results > 0 and len(self.index_files) == 1:
-            v, d = fetched[0]
-            ranked = self._rank_sparse_batch(
-                v, d, self._sparse_lims(qbytes, threshold),
-                num_results)
+        if num_results > 0:
+            if len(self.index_files) == 1:
+                v, d = fetched[0]
+                ranked = self._rank_sparse_batch(
+                    v, d, self._sparse_lims(qbytes, threshold),
+                    num_results)
+            else:
+                ranked = self._rank_sparse_multi(
+                    fetched,
+                    self._sparse_lims_multi(qbytes, threshold),
+                    num_results)
         for b in range(len(qbytes)):
             if errors[b] is not None:
                 out.append(QueryError(qbytes[b], errors[b]))
@@ -565,13 +566,8 @@ class Search:
             thr = [math.ceil(threshold *
                              (len(qbytes[b]) - ix.term_size + 1))
                    for ix in self.index_files]
-            if num_results > 0:
-                out.append(self._rank_sparse(
-                    [(v[b], d[b]) for v, d in fetched], thr,
-                    num_results))
-            else:
-                out.append(self._rank(
-                    [s[b] for s in fetched], thr, total_docs))
+            out.append(self._rank(
+                [s[b] for s in fetched], thr, total_docs))
         self.timer_.stop()
         return out
 
@@ -662,9 +658,69 @@ class Search:
             while inflight:
                 yield from finish(*inflight.popleft())
 
+    def _rank_sparse_multi(self, fetched, lims, num_results
+                           ) -> list["ResultList"]:
+        """Vectorized federation top-k ranking — the multi-index analog
+        of `_rank_sparse_batch`, replacing a per-query `np.lexsort`
+        (`_rank_sparse`, kept as the oracle) that measured ~15 us/query
+        of serving wall time (BASELINE r4).
+
+        fetched: per-index (scores [B', k_i], docs [B', k_i]) device
+        top-k pairs (B' >= B; padding slots carry score -1).
+        lims: int64 [n_indices, B] per-index per-query score floors
+        (>= 0). One composed-key argsort ranks the whole batch:
+        (score << 40) - global_doc is unique per row (per-index doc ids
+        are distinct, index ranges disjoint) and orders exactly by
+        (score desc, doc asc); every excluded entry (score forced to
+        -1, key >= 2^40) sorts after every kept one (key <= doc <
+        2^40), so the per-query prefix cut is exact. Reference
+        ordering contract: cobs/query/classic_search.cpp:140-144,
+        166-201."""
+        B = lims.shape[1]
+        Vs, Gs = [], []
+        base = 0
+        for k, ix in enumerate(self.index_files):
+            v, d = fetched[k]
+            v = np.asarray(v)[:B].astype(np.int64)
+            d = np.asarray(d)[:B].astype(np.int64)
+            keep = v >= lims[k][:, None]   # lims >= 0 excludes padding
+            Vs.append(np.where(keep, v, -1))
+            Gs.append(d + base)
+            base += len(ix.file_names)
+        V = np.concatenate(Vs, axis=1)
+        G = np.concatenate(Gs, axis=1)
+        n = (V >= 0).sum(axis=1)
+        if num_results:
+            n = np.minimum(n, num_results)
+        names = self._names
+        if V.size and (int(V.max()) >= 1 << 23 or base >= 1 << 40):
+            # composed key would overflow (8M+-term queries or 1T+
+            # docs); exact 2-key path for that regime
+            out = []
+            for b in range(B):
+                order = np.lexsort((G[b], -V[b]))[:n[b]]
+                out.append(ResultList(names, G[b][order], V[b][order]))
+            return out
+        order = np.argsort(G - (V << 40), axis=1)
+        V = np.take_along_axis(V, order, axis=1)
+        G = np.take_along_axis(G, order, axis=1)
+        return [ResultList(names, G[b, :n[b]], V[b, :n[b]])
+                for b in range(B)]
+
+    def _sparse_lims_multi(self, qbytes, threshold) -> np.ndarray:
+        """Per-index per-query score floors, int64 [n_indices, B]."""
+        return np.array(
+            [[max(0, math.ceil(threshold *
+                               (len(qb) - ix.term_size + 1)))
+              for qb in qbytes] for ix in self.index_files],
+            dtype=np.int64)
+
     def _rank_sparse(self, topk_list, thresholds, num_results
                      ) -> list[SearchResult]:
-        """Ranking from per-index device top-k (score, doc) pairs."""
+        """Ranking from per-index device top-k (score, doc) pairs.
+
+        Per-query reference path — superseded in production by the
+        vectorized `_rank_sparse_multi`, kept as its test oracle."""
         names = self._names
         kept_scores, kept_global = [], []
         order_base = 0

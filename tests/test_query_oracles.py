@@ -284,3 +284,79 @@ def test_rank_sparse_batch_equals_per_query(tmp_path):
             slow = s._rank_sparse([(v[b], d[b])], [int(lims[b])], k)
             assert [(r.doc_name, r.score) for r in fast[b]] == \
                 [(r.doc_name, r.score) for r in slow], (b, thr)
+
+
+def test_rank_sparse_multi_equals_per_query(tmp_path):
+    """The vectorized federation top-k ranking (composed-key argsort)
+    must equal the per-query merge oracle for every threshold,
+    including -1 padding, cross-index score ties, and mixed term
+    sizes (different per-index floors)."""
+    import numpy as np
+
+    import cobs_tpu
+
+    rng = np.random.default_rng(23)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    idx_paths = []
+    sizes = [9, 13]
+    for j, n in enumerate(sizes):
+        docs = tmp_path / f"docs{j}"
+        docs.mkdir()
+        for i in range(n):
+            seq = bases[rng.integers(0, 4, size=180)].tobytes()
+            (docs / f"g{j}_{i}.fasta").write_bytes(
+                b">s\n" + seq + b"\n")
+        idx = tmp_path / f"x{j}.cobs_classic"
+        cobs_tpu.classic_construct(
+            cobs_tpu.DocumentList(docs), idx,
+            index_params=cobs_tpu.ClassicIndexParameters(
+                term_size=31 if j == 0 else 21, clobber=True))
+        idx_paths.append(str(idx))
+    s = cobs_tpu.Search(idx_paths)
+
+    B, k = 6, 8
+    fetched = []
+    for n in sizes:
+        # sorted top-k rows incl. -1 padding; ties collide across
+        # indexes so the merge order is exercised
+        v = np.sort(rng.integers(-1, 6, size=(B, k)))[:, ::-1] \
+            .astype(np.int32)
+        d = np.stack([np.sort(rng.choice(n, size=k, replace=False))
+                      for _ in range(B)]).astype(np.int64)
+        fetched.append((v, d))
+    qbytes = [b"A" * (31 + int(rng.integers(0, 40))) for _ in range(B)]
+    for thr in (0.0, 0.02, 0.1, 1.0):
+        lims = s._sparse_lims_multi(qbytes, thr)
+        fast = s._rank_sparse_multi(fetched, lims, k)
+        for b in range(B):
+            slow = s._rank_sparse(
+                [(v[b], d[b]) for v, d in fetched],
+                [int(lims[j][b]) for j in range(len(sizes))], k)
+            assert [(r.doc_name, r.score) for r in fast[b]] == \
+                [(r.doc_name, r.score) for r in slow], (b, thr)
+
+
+def test_merge_topk_host_equals_lexsort():
+    """The vectorized mesh top-k merge must equal the naive per-query
+    (score desc, doc asc) lexsort on randomized shard candidates."""
+    import numpy as np
+
+    from cobs_tpu.parallel.sharded import _merge_topk_host
+
+    rng = np.random.default_rng(41)
+    W32, docs_per_page = 64, 64
+    for trial in range(5):
+        B, k, shards = int(rng.integers(1, 9)), 10, 4
+        S = shards * k
+        # unique flat indices per row (docs partition across shards),
+        # heavy score ties, -1 padding rows
+        g = np.stack([rng.permutation(4 * W32)[:S]
+                      for _ in range(B + 1)]).astype(np.int32)
+        v = rng.integers(-1, 5, size=(B + 1, S)).astype(np.int32)
+        out_v, out_d = _merge_topk_host(v, g, W32, docs_per_page, B, k)
+        doc = (g[:B].astype(np.int64) // W32) * docs_per_page \
+            + g[:B] % W32
+        for b in range(B):
+            order = np.lexsort((doc[b], -v[b, :S].astype(np.int64)))[:k]
+            assert np.array_equal(out_v[b], v[b][order]), (trial, b)
+            assert np.array_equal(out_d[b], doc[b][order]), (trial, b)
