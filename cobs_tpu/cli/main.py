@@ -403,6 +403,12 @@ def cmd_serve(argv):
                         "long reload), answer NEW queries with an "
                         "error instead of queueing them forever; "
                         "default: 300, 0 disables")
+    p.add_argument("--slo-ms", type=float, default=0.0, metavar="MS",
+                   help="p99 latency target: adaptively cap the deep-"
+                        "queue mega-dispatch group size (and the "
+                        "linger) so tail latency stays under MS "
+                        "instead of growing with throughput; "
+                        "default: 0 = pure-throughput mode")
     p.add_argument("--load-complete", action="store_true",
                    help="force the whole index into device HBM")
     p.add_argument("--streamed", action="store_true",
@@ -438,7 +444,7 @@ def cmd_serve(argv):
         port=args.port, batch_size=args.batch,
         linger_ms=args.linger_ms, threshold=args.threshold,
         num_results=args.limit, search_factory=factory,
-        stall_timeout=args.stall_timeout)
+        stall_timeout=args.stall_timeout, slo_ms=args.slo_ms)
     if args.warmup:
         server.warmup(args.warmup)
         print(f"WARM query_len={args.warmup}", flush=True)

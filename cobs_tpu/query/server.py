@@ -255,20 +255,37 @@ class QueryServer:
         throughout. Must exceed the slowest legitimate pause — a cold
         jit compile or a full index reload (default 300 s covers the
         observed worst cases on tunneled chips).
+    slo_ms : optional p99 latency target, milliseconds (0 disables).
+        Mega-dispatch trades latency for throughput: a deep queue
+        packs up to `settings.mega_batches` batches per device
+        program, and every response in the group waits for the whole
+        program. With an SLO set, the group ceiling adapts (AIMD on
+        the rolling p99, see `_slo_adjust`) and the batch linger is
+        capped at slo/8 — throughput degrades gracefully to what the
+        latency budget affords instead of the reverse.
     """
 
     def __init__(self, search, *, unix_path=None, host="127.0.0.1",
                  port=0, batch_size=64, linger_ms=2.0, threshold=0.8,
                  num_results=0, depth=2, search_factory=None,
-                 stall_timeout=300.0):
+                 stall_timeout=300.0, slo_ms=0.0):
         if not (0.0 <= threshold <= 1.0):
             raise ValueError("threshold must be in [0, 1]")
+        if slo_ms < 0:
+            raise ValueError("slo_ms must be >= 0")
         self.t_floor = float(threshold)
         self.limit = int(num_results)
         self.batch_size = int(batch_size)
         self.linger_s = float(linger_ms) / 1e3
         self.depth = int(depth)
         self.stall_timeout_s = float(stall_timeout)
+        # latency SLO (p99 target, ms; 0 = pure-throughput mode): the
+        # mega-dispatch ceiling becomes ADAPTIVE — a deep queue grows
+        # device programs (and thus tail latency) only while the
+        # rolling p99 stays under the target (_slo_adjust); the batch
+        # linger is capped to a small fraction of the target too
+        self.slo_ms = float(slo_ms)
+        self._slo_last = 0.0
         # monotonic stamp of the scorer's latest progress; None = idle.
         # Stale while the scorer is blocked inside device work (float
         # read/write is atomic — intake reads it lock-free).
@@ -323,6 +340,9 @@ class QueryServer:
         # because the backend kind may change; the formula lives on
         # Search so the served and embedded paths can never diverge
         self._mega = search._mega_k_capped(self.batch_size, self.limit)
+        # adaptive ceiling under an SLO (scorer-thread-owned; starts
+        # optimistic and shrinks on p99 violations)
+        self._mega_eff = self._mega
         self._send_queue = max(1024,
                                2 * self.batch_size * self._mega + 64)
         # a reload may RAISE the burst size (e.g. streamed -> device
@@ -498,6 +518,45 @@ class QueryServer:
         blocked = time.monotonic() - busy
         return blocked if blocked > self.stall_timeout_s else 0.0
 
+    def _mega_ceiling(self) -> int:
+        """Effective mega-dispatch group cap for this pass: the static
+        HBM/settings ceiling, tightened adaptively under an SLO."""
+        return self._mega_eff if self.slo_ms > 0 else self._mega
+
+    def _linger_eff(self) -> float:
+        """Batch linger, capped to 1/8 of the SLO target when one is
+        set (lingering is pure added latency on a shallow queue)."""
+        if self.slo_ms <= 0:
+            return self.linger_s
+        return min(self.linger_s, self.slo_ms / 8e3)
+
+    def _slo_adjust(self) -> None:
+        """AIMD control of the mega ceiling from the rolling p99
+        (scorer thread only): a p99 above the SLO halves the group
+        cap — each response's queue+device latency scales with the
+        batches packed per program — and a p99 comfortably under it
+        (<70%) grows the cap back one step, restoring throughput once
+        the load allows. Re-evaluated at most every 250 ms so one
+        group's outliers do not whipsaw the ceiling."""
+        if self.slo_ms <= 0:
+            return
+        now = time.monotonic()
+        if now - self._slo_last < 0.25:
+            return
+        self._slo_last = now
+        with self._lock:
+            recent = list(self._lat)[-256:]
+        if not recent:
+            return
+        recent.sort()
+        p99 = recent[min(len(recent) - 1, int(len(recent) * 0.99))]
+        if p99 > self.slo_ms and self._mega_eff > 1:
+            self._mega_eff = max(1, self._mega_eff // 2)
+            self._count("slo_shrinks")
+        elif p99 < 0.7 * self.slo_ms and self._mega_eff < self._mega:
+            self._mega_eff += 1
+            self._count("slo_grows")
+
     def _latency_ms(self):
         """(p50, p99) over the rolling window, or (None, None)."""
         with self._lock:  # scorer extends concurrently
@@ -568,10 +627,12 @@ class QueryServer:
                                  "overflowed_connections", "reloads",
                                  "failed_reloads", "stalled_rejects",
                                  "mega_dispatches",
-                                 "subfloor_batches")}
+                                 "subfloor_batches", "slo_shrinks",
+                                 "slo_grows")}
             with self._lock:
                 st.update(self._stats)
             st["stalled"] = self._stall_seconds() > 0
+            st["mega_effective"] = self._mega_ceiling()
             p50, p99 = self._latency_ms()
             if p50 is not None:
                 st["lat_p50_ms"] = p50
@@ -658,7 +719,7 @@ class QueryServer:
         if isinstance(first, _Reload):
             return items, False, first
         items.append(first)
-        deadline = time.monotonic() + self.linger_s
+        deadline = time.monotonic() + self._linger_eff()
         while len(items) < self.batch_size:
             wait = deadline - time.monotonic()
             try:
@@ -734,7 +795,7 @@ class QueryServer:
             # single-batch dispatch, so latency stays bounded.
             groups = [items]
             while (not stopping and reload_req is None
-                   and len(groups) < self._mega
+                   and len(groups) < self._mega_ceiling()
                    and len(groups[-1]) == self.batch_size
                    and self._rq.qsize() >= self.batch_size):
                 more, stopping, reload_req = \
@@ -786,6 +847,7 @@ class QueryServer:
             while len(inflight) > max(self.depth, 2 * len(groups)):
                 self._emit_safe(inflight.popleft())
             _mark("t_drain", t0)
+            self._slo_adjust()
 
     def _do_reload(self, req: _Reload):
         """Rebuild the index set and swap (scorer thread, window empty).

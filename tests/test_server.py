@@ -875,3 +875,64 @@ def test_switch_interval_restored_on_close(index_file, tmp_path):
     with srv:
         assert sys.getswitchinterval() <= 0.0005
     assert sys.getswitchinterval() == before
+
+
+def test_slo_adaptive_mega_ceiling(index_file, tmp_path):
+    """--slo-ms: a violated p99 target shrinks the deep-queue mega
+    group cap toward per-batch dispatch (and caps the linger);
+    lifting the SLO restores the full-throughput configuration.
+    Results stay exact throughout."""
+    import time
+
+    s = cobs_tpu.Search(str(index_file))
+    srv = QueryServer(s, unix_path=str(tmp_path / "slo.sock"),
+                      threshold=0.0, linger_ms=50.0, batch_size=4,
+                      slo_ms=0.001)   # any real latency violates
+    with srv:
+        direct = cobs_tpu.Search(str(index_file))
+        assert srv._mega > 1, "mega-dispatch must be on for this test"
+        # the 50 ms linger is capped to slo/8
+        assert srv._linger_eff() <= srv.slo_ms / 8e3 + 1e-12
+        c = Client(srv.address)
+        want = expected(direct, GOLDEN_QUERY)
+        deadline = time.monotonic() + 60
+        shrunk = False
+        while time.monotonic() < deadline and not shrunk:
+            n = 64
+            for i in range(n):
+                c.send({"id": i, "query": GOLDEN_QUERY})
+            for _ in range(n):
+                assert c.recv()["results"] == want
+            st = c.ask({"cmd": "stats"})
+            shrunk = (st["slo_shrinks"] >= 1
+                      and st["mega_effective"] == 1)
+        assert shrunk, "SLO violation never shrank the mega ceiling"
+        # lifting the SLO restores the static ceiling immediately
+        srv.slo_ms = 0.0
+        st = c.ask({"cmd": "stats"})
+        assert st["mega_effective"] == srv._mega
+        c.close()
+
+
+def test_slo_aimd_growth_and_shrink(index_file, tmp_path):
+    """AIMD dynamics of _slo_adjust: a p99 comfortably under the
+    target grows the ceiling back one step at a time to the static
+    cap; a violating window halves it."""
+    s = cobs_tpu.Search(str(index_file))
+    srv = QueryServer(s, unix_path=str(tmp_path / "slo2.sock"),
+                      threshold=0.0, slo_ms=1000.0)
+    with srv:  # idle server: the scorer never calls _slo_adjust
+        srv._mega_eff = 1
+        srv._lat.extend([1.0] * 64)      # p99 = 1 ms << 0.7 * 1000
+        for step in range(1, srv._mega):
+            srv._slo_last = 0.0          # bypass the 250 ms pacing
+            srv._slo_adjust()
+            assert srv._mega_eff == 1 + step
+        assert srv._mega_eff == srv._mega
+        srv._slo_last = 0.0
+        srv._slo_adjust()                # at the cap: no further growth
+        assert srv._mega_eff == srv._mega
+        srv._lat.extend([5000.0] * 256)  # violating window
+        srv._slo_last = 0.0
+        srv._slo_adjust()
+        assert srv._mega_eff == max(1, srv._mega // 2)
