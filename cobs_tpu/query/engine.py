@@ -665,13 +665,14 @@ class PendingTopK:
     """Handle for a dispatched-but-unfetched device top-k batch; the
     top-k analog of PendingScores (fetch overlaps later dispatches)."""
 
-    __slots__ = ("_vals", "_idx", "_B", "_w32", "_docs_per_page",
-                 "_after")
+    __slots__ = ("_vals", "_idx", "_tier", "_B", "_w32",
+                 "_docs_per_page", "_after")
 
     def __init__(self, vals, idx, B, word_width, docs_per_page,
-                 after=None):
+                 after=None, tier=None):
         self._vals = vals
         self._idx = idx
+        self._tier = tier
         self._B = B
         self._w32 = word_width * 32
         self._docs_per_page = docs_per_page
@@ -687,6 +688,28 @@ class PendingTopK:
         if self._after is not None:
             self._after()
         return vals, docs
+
+    def fetch_topk(self, lims, cap: int):
+        """Threshold-compacted fetch: read the packed u32 [B, TIER]
+        prefix (8x narrower than the full u16 pair fetch — the fetch
+        is a first-class serving cost through a ~36 MB/s link) and
+        return it when every row's ranked results provably fit
+        (_tier_sufficient, from the same score floors the caller
+        ranks with); escalate to the full fetch otherwise. Both paths
+        are prefixes of the same device-sorted rows, so results are
+        identical — only the transfer width differs."""
+        if self._tier is None:
+            return self.fetch()
+        t = np.asarray(jax.block_until_ready(self._tier))[:self._B]
+        v, i = _tier_unpack(t)
+        if not _tier_sufficient(v, lims, cap):
+            _tier_counters["full_fetches"] += 1
+            return self.fetch()
+        _tier_counters["tier_fetches"] += 1
+        docs = _slot_doc_numbers(i, self._w32, self._docs_per_page)
+        if self._after is not None:
+            self._after()
+        return v, docs
 
 
 class PendingHost:
@@ -804,7 +827,9 @@ def _hash_gather_count_topk(matrix, qdata, qlens, valid_mask,
                                   num_hashes).reshape(rows.shape[0], -1)
     masked = _mask_scores(scores, valid_mask)
     vals, idx = jax.lax.top_k(masked, k)
-    return _shrink_topk(vals, idx, rows.shape[1], masked.shape[-1])
+    tier = _tier_pack(vals, idx, rows.shape[1], masked.shape[-1])
+    return (*_shrink_topk(vals, idx, rows.shape[1], masked.shape[-1]),
+            tier)
 
 
 def _device_hash_args(index: DeviceIndex, qb: QueryBytes):
@@ -1273,13 +1298,14 @@ class StreamedIndex:
             self._valid_mask_dev = mask
         if timer:
             timer.active("and rows")
-        vals, idx = _gather_count_topk(
+        vals, idx, tier = _gather_count_topk(
             gmat, jnp.asarray(remapped), mask, self.num_hashes,
             min(k, int(mask.shape[0])))
         if timer:
             timer.stop()
         return PendingTopK(vals, idx, B, self.word_width,
-                           self.docs_per_page, self._after_score())
+                           self.docs_per_page, self._after_score(),
+                           tier=tier)
 
     def score_topk(self, hashes_list, k: int,
                    timer: Timer | None = None):
@@ -1342,6 +1368,52 @@ def _mask_scores(scores, valid_mask):
     return jnp.where(valid_mask[None, :], scores, -1)
 
 
+#: prefix-tier width for the threshold-compacted top-k fetch. At the
+#: reference's default serving mode (-t 0.8 -l 100,
+#: reference: src/cobs.cpp:486-489) nearly every query has far fewer
+#: hits >= its score floor than k, so the [B, k] u16 pair fetch is
+#: mostly padding — ~400 B/query at the ~36 MB/s tunneled D2H link,
+#: rivaling the device compute (BASELINE r4). Every top-k program also
+#: emits a packed u32 [B, _TOPK_TIER] prefix of the same sorted rows;
+#: the host fetches that (8x narrower) and escalates to the full
+#: arrays only when some row's tier boundary still clears its floor.
+_TOPK_TIER = 8
+
+#: fetch-path counters (diagnostics/tests): how often the tier prefix
+#: sufficed vs escalated to the full [B, k] fetch
+_tier_counters = {"tier_fetches": 0, "full_fetches": 0}
+
+
+def _tier_pack(vals, idx, t_pad: int, n_slots: int):
+    """Packed u32 [.., _TOPK_TIER] prefix of the sorted top-k rows:
+    (score+1) << 16 | slot. None when either half exceeds uint16
+    (huge queries or indexes — the full fetch is then the only exact
+    path) or k is already within the tier."""
+    if (t_pad > 65534 or n_slots > 65535
+            or vals.shape[-1] <= _TOPK_TIER):
+        return None
+    v = (vals[..., :_TOPK_TIER] + 1).astype(jnp.uint32)
+    return (v << 16) | idx[..., :_TOPK_TIER].astype(jnp.uint32)
+
+
+def _tier_unpack(packed: np.ndarray):
+    """Host half of _tier_pack: (scores i32, slot ids i64)."""
+    v = (packed >> 16).astype(np.int32) - 1
+    i = (packed & 0xFFFF).astype(np.int64)
+    return v, i
+
+
+def _tier_sufficient(tier_vals: np.ndarray, lims, cap: int) -> bool:
+    """True when every row's results provably fit the [B, TIER] tier
+    prefix: row b consumes at most min(cap, hits_b) leading entries,
+    and rows sort score-descending, so a tier whose LAST score is
+    already below the row's floor contains the whole hit prefix."""
+    if cap and cap <= tier_vals.shape[-1]:
+        return True
+    lims = np.asarray(lims)[:tier_vals.shape[0]]
+    return not np.any(tier_vals[:, -1] >= lims)
+
+
 def _shrink_topk(vals, idx, t_pad: int, n_slots: int):
     """Narrow the top-k fetch for the device-to-host link.
 
@@ -1373,8 +1445,9 @@ def _gather_count_topk(matrix, rows_idx, valid_mask, num_hashes, k):
     scores = _gather_and_count(matrix, rows_idx, num_hashes)
     masked = _mask_scores(scores, valid_mask)
     vals, idx = jax.lax.top_k(masked, k)
-    return _shrink_topk(vals, idx, rows_idx.shape[1],
-                        masked.shape[-1])
+    tier = _tier_pack(vals, idx, rows_idx.shape[1], masked.shape[-1])
+    return (*_shrink_topk(vals, idx, rows_idx.shape[1],
+                          masked.shape[-1]), tier)
 
 
 def score_topk_async(index: DeviceIndex, hashes_list, k: int,
@@ -1391,14 +1464,14 @@ def score_topk_async(index: DeviceIndex, hashes_list, k: int,
         if timer:
             timer.active("io")
         with jax.enable_x64():  # XXH64 needs (emulated) uint64
-            vals, idx = _hash_gather_count_topk(
+            vals, idx, tier = _hash_gather_count_topk(
                 index.matrix, dq, dl, mask0, index.term_size,
                 index.num_hashes, index.canonicalize, sigs, offs,
                 index.zero_row, min(k, int(mask0.shape[0])), plen)
         if timer:
             timer.stop()
         return PendingTopK(vals, idx, B, index.word_width,
-                           index.docs_per_page)
+                           index.docs_per_page, tier=tier)
     B = len(hashes_list)
     B_pad = _bucket(B)
     T_max = _bucket(max(h.shape[0] for h in hashes_list))
@@ -1413,13 +1486,13 @@ def score_topk_async(index: DeviceIndex, hashes_list, k: int,
 
     if timer:
         timer.active("io")
-    vals, idx = _gather_count_topk(
+    vals, idx, tier = _gather_count_topk(
         index.matrix, jnp.asarray(rows_idx), mask, index.num_hashes,
         min(k, int(mask.shape[0])))
     if timer:
         timer.stop()
     return PendingTopK(vals, idx, B, index.word_width,
-                       index.docs_per_page)
+                       index.docs_per_page, tier=tier)
 
 
 def score_topk(index: DeviceIndex, hashes_list, k: int,
@@ -1462,23 +1535,32 @@ def score_topk(index: DeviceIndex, hashes_list, k: int,
 # --------------------------------------------------------------------
 
 
+_UNFETCHED = object()
+
+
 class _SharedFetch:
     """One device-to-host materialization shared by the K per-batch
     pending handles of a mega-dispatch (the first fetch blocks on the
-    whole program; the rest are free)."""
+    whole program; the rest are free). Arrays fetch LAZILY per slot:
+    the tier-compacted top-k path reads only the narrow prefix array
+    unless some batch escalates to the full candidates."""
 
     __slots__ = ("_dev", "_host")
 
     def __init__(self, *dev):
-        self._dev = dev
-        self._host = None
+        self._dev = list(dev)
+        self._host = [_UNFETCHED] * len(dev)
 
     def get(self) -> tuple:
-        if self._host is None:
-            self._host = tuple(
-                np.asarray(jax.block_until_ready(a)) for a in self._dev)
-            self._dev = None
-        return self._host
+        return tuple(self.get_one(i) for i in range(len(self._host)))
+
+    def get_one(self, i: int):
+        if self._host[i] is _UNFETCHED:
+            a = self._dev[i]
+            self._host[i] = (None if a is None else
+                             np.asarray(jax.block_until_ready(a)))
+            self._dev[i] = None
+        return self._host[i]
 
 
 class PendingScoresView:
@@ -1515,10 +1597,26 @@ class PendingTopKView:
         self._docs_per_page = docs_per_page
 
     def fetch(self):
-        vals, idx = self._shared.get()
+        vals = self._shared.get_one(0)
+        idx = self._shared.get_one(1)
         v = _unshrink_topk_vals(vals[self._g][:self._B])
         docs = _slot_doc_numbers(idx[self._g][:self._B], self._w32,
                                  self._docs_per_page)
+        return v, docs
+
+    def fetch_topk(self, lims, cap: int):
+        """Tier-compacted fetch over this view's batch slice (see
+        PendingTopK.fetch_topk); the [K, B, TIER] prefix array is
+        shared, so one narrow transfer serves the whole mega group."""
+        tier = self._shared.get_one(2)
+        if tier is None:
+            return self.fetch()
+        v, i = _tier_unpack(tier[self._g][:self._B])
+        if not _tier_sufficient(v, lims, cap):
+            _tier_counters["full_fetches"] += 1
+            return self.fetch()
+        _tier_counters["tier_fetches"] += 1
+        docs = _slot_doc_numbers(i, self._w32, self._docs_per_page)
         return v, docs
 
 
@@ -1559,10 +1657,12 @@ def _hash_gather_count_topk_multi(matrix, qdata, qlens, valid_mask,
             .reshape(rows.shape[0], -1)
         masked = _mask_scores(scores, valid_mask)
         v, i = jax.lax.top_k(masked, k)
-        return c, _shrink_topk(v, i, rows.shape[1], masked.shape[-1])
+        tier = _tier_pack(v, i, rows.shape[1], masked.shape[-1])
+        return c, (*_shrink_topk(v, i, rows.shape[1],
+                                 masked.shape[-1]), tier)
 
-    _, (vals, idx) = lax.scan(body, 0, (qdata, qlens))
-    return vals, idx
+    _, (vals, idx, tier) = lax.scan(body, 0, (qdata, qlens))
+    return vals, idx, tier
 
 
 @functools.partial(jax.jit, static_argnames=("num_hashes",))
@@ -1586,10 +1686,12 @@ def _gather_count_topk_multi(matrix, rows_idx, valid_mask, num_hashes,
             .reshape(idx.shape[0], -1)
         masked = _mask_scores(scores, valid_mask)
         v, i = jax.lax.top_k(masked, k)
-        return c, _shrink_topk(v, i, idx.shape[1], masked.shape[-1])
+        tier = _tier_pack(v, i, idx.shape[1], masked.shape[-1])
+        return c, (*_shrink_topk(v, i, idx.shape[1],
+                                 masked.shape[-1]), tier)
 
-    _, (vals, idx) = lax.scan(body, 0, rows_idx)
-    return vals, idx
+    _, (vals, idx, tier) = lax.scan(body, 0, rows_idx)
+    return vals, idx, tier
 
 
 def _multi_query_args(index: DeviceIndex, payloads: list):
@@ -1677,18 +1779,18 @@ def score_topk_multi_async(index: DeviceIndex, payloads: list, k: int,
         dq, dl, _, sigs, offs, plen = _multi_query_args(index,
                                                         payloads)
         with jax.enable_x64():
-            vals, idx = _hash_gather_count_topk_multi(
+            vals, idx, tier = _hash_gather_count_topk_multi(
                 index.matrix, dq, dl, mask, index.term_size,
                 index.num_hashes, index.canonicalize, sigs, offs,
                 index.zero_row, k_eff, plen)
     else:
         rows, _ = _multi_rows_idx(index, payloads)
-        vals, idx = _gather_count_topk_multi(
+        vals, idx, tier = _gather_count_topk_multi(
             index.matrix, jnp.asarray(rows), mask, index.num_hashes,
             k_eff)
     if timer:
         timer.stop()
-    shared = _SharedFetch(vals, idx)
+    shared = _SharedFetch(vals, idx, tier)
     return [PendingTopKView(shared, g, len(p), index.word_width,
                             index.docs_per_page)
             for g, p in enumerate(payloads)]

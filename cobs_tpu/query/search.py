@@ -541,7 +541,26 @@ class Search:
         Returns one ResultList (or QueryError) per query, reference
         ordering (score desc, doc asc)."""
         self.timer_.active("add rows")
-        fetched = [p.fetch() for p in pending]
+        lims = lims_multi = None
+        if num_results > 0:
+            # compute the score floors BEFORE fetching: pending device
+            # top-k handles use them to read only the narrow tier
+            # prefix (engine.PendingTopK.fetch_topk) — the same floors
+            # then drive the ranking, so tier sufficiency and the
+            # ranked prefix can never disagree
+            if len(self.index_files) == 1:
+                lims = self._sparse_lims(qbytes, threshold)
+                lims_multi = [lims]
+            else:
+                ml = self._sparse_lims_multi(qbytes, threshold)
+                lims_multi = list(ml)
+            tier = settings.tier_fetch
+            fetched = [p.fetch_topk(lims_multi[k], num_results)
+                       if tier and hasattr(p, "fetch_topk")
+                       else p.fetch()
+                       for k, p in enumerate(pending)]
+        else:
+            fetched = [p.fetch() for p in pending]
         self.timer_.active("sort results")
         out = []
         ranked = None
@@ -549,13 +568,10 @@ class Search:
             if len(self.index_files) == 1:
                 v, d = fetched[0]
                 ranked = self._rank_sparse_batch(
-                    v, d, self._sparse_lims(qbytes, threshold),
-                    num_results)
+                    v, d, lims, num_results)
             else:
                 ranked = self._rank_sparse_multi(
-                    fetched,
-                    self._sparse_lims_multi(qbytes, threshold),
-                    num_results)
+                    fetched, np.stack(lims_multi), num_results)
         for b in range(len(qbytes)):
             if errors[b] is not None:
                 out.append(QueryError(qbytes[b], errors[b]))

@@ -56,6 +56,15 @@ class Settings:
     #! the dispatch-bound regime).
     mega_batches: int = int(os.environ.get("COBS_TPU_MEGA_BATCHES",
                                            "16"))
+    #! threshold-compacted top-k fetch: device top-k programs emit a
+    #! packed [B, 8] prefix of the sorted candidate rows alongside the
+    #! full [B, k] arrays; when every query's hits >= its score floor
+    #! provably fit the prefix (the overwhelmingly common case at the
+    #! reference's default -t 0.8), only the 8x-narrower prefix
+    #! crosses the device-to-host link (engine.PendingTopK.fetch_topk).
+    #! False restores the unconditional full fetch (A/B knob).
+    tier_fetch: bool = os.environ.get("COBS_TPU_TIER_FETCH",
+                                      "1") not in ("0", "false", "off")
 
 
 settings = Settings()

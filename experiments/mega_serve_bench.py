@@ -44,21 +44,30 @@ def main():
                     help="top-k per query (the reference default "
                          "query mode is -t 0.8 -l 100)")
     ap.add_argument("--configs",
-                    default="2048:1,2048:8,2048:16,1024:16,1024:1")
+                    default="2048:1,2048:8,2048:16,1024:16,1024:1",
+                    help="comma list of B:mega[:tier] (tier 1 = "
+                         "threshold-compacted top-k fetch, the "
+                         "default; 0 = full [B, k] fetch) — put both "
+                         "tier variants in one list for a drift-proof "
+                         "interleaved A/B")
     args = ap.parse_args()
 
     from cobs_tpu.query.search import Search
     from cobs_tpu.settings import settings
 
-    configs = [tuple(int(x) for x in c.split(":"))
-               for c in args.configs.split(",")]
+    configs = []
+    for c in args.configs.split(","):
+        parts = [int(x) for x in c.split(":")]
+        configs.append((parts[0], parts[1],
+                        parts[2] if len(parts) > 2 else 1))
     queries = random_queries(args.queries, args.num_kmers)
     print(f"index={args.index} queries={len(queries)} "
           f"T={args.num_kmers} limit={args.limit}", flush=True)
     s = Search(args.index)
 
-    def rep(B, mega, qs):
+    def rep(B, mega, tier, qs):
         settings.mega_batches = mega
+        settings.tier_fetch = bool(tier)
         t0 = time.perf_counter()
         n = 0
         for _res in s.search_stream(qs, args.threshold, args.limit,
@@ -68,22 +77,24 @@ def main():
         return n / dt, dt
 
     # warmup: compile every (B, K-ladder) variant outside the clock
-    for B, mega in configs:
-        qps, dt = rep(B, mega, queries[:B * max(1, mega)])
-        print(f"warmup B={B} mega={mega}: {qps:.0f} q/s ({dt:.1f}s)",
-              flush=True)
+    for B, mega, tier in configs:
+        qps, dt = rep(B, mega, tier, queries[:B * max(1, mega)])
+        print(f"warmup B={B} mega={mega} tier={tier}: {qps:.0f} q/s "
+              f"({dt:.1f}s)", flush=True)
 
     best = {}
     for rnd in range(1, args.rounds + 1):
-        for B, mega in configs:
-            qps, dt = rep(B, mega, queries)
-            tag = (B, mega)
+        for B, mega, tier in configs:
+            qps, dt = rep(B, mega, tier, queries)
+            tag = (B, mega, tier)
             best[tag] = max(best.get(tag, 0.0), qps)
-            print(f"round {rnd} B={B} mega={mega}: {qps:.0f} q/s "
-                  f"({dt:.1f}s)", flush=True)
+            print(f"round {rnd} B={B} mega={mega} tier={tier}: "
+                  f"{qps:.0f} q/s ({dt:.1f}s)", flush=True)
 
-    for (B, mega), qps in sorted(best.items()):
-        print(f"RESULT name=mega_serve B={B} mega={mega} "
+    from cobs_tpu.query.engine import _tier_counters
+    print(f"tier counters: {_tier_counters}", flush=True)
+    for (B, mega, tier), qps in sorted(best.items()):
+        print(f"RESULT name=mega_serve B={B} mega={mega} tier={tier} "
               f"threshold={args.threshold} limit={args.limit} "
               f"queries_per_s={qps:.1f}")
 
