@@ -74,6 +74,71 @@ def block_step(Bs, tc):
     return step
 
 
+def gather_tiled_step(Bs, tc):
+    """Gather-only with the SAME (lax.map over blocks, scan over term
+    chunks) loop structure as the production tile plan: separates
+    'count not hidden' from 'gather degraded by the loop structure'."""
+    def step(m, idx):
+        pad = (-T_PAD) % tc
+        if pad:
+            idx = jnp.concatenate([
+                idx, jnp.full((B, pad, H, 1), m.shape[0] - 1,
+                              jnp.int32)], axis=1)
+        sub = idx[..., 0, 0].reshape(B // Bs, Bs, (T_PAD + pad) // tc,
+                                     tc)
+
+        def per_block(rs):
+            def cbody(acc, rc):
+                g = jnp.take(m, rc, axis=0)         # [Bs, tc, W]
+                return acc + jnp.sum(
+                    g, axis=1, dtype=jnp.uint32), None
+            acc0 = jnp.zeros((Bs, m.shape[1]), jnp.uint32)
+            return lax.scan(cbody, acc0,
+                            jnp.moveaxis(rs, 1, 0))[0]
+
+        out = lax.map(per_block, sub)
+        return out.reshape(B, -1).sum(axis=1).astype(jnp.int32)
+    return step
+
+
+def flat_step(Bs, tc):
+    """ONE scan over all (block, chunk) steps instead of a map-of-
+    scans: XLA software-pipelines a single loop, so the per-block
+    pipeline bubbles (first chunk's gather not overlapped, last
+    chunk's count exposed — ~2 of ~5 chunks per block at this shape)
+    disappear; the cost is accumulating into a [B, P*W*32] carry via
+    a dynamic batch-slice add each step."""
+    from cobs_tpu.query.engine import _gather_count_once
+
+    def step(m, idx):
+        pad = (-T_PAD) % tc
+        if pad:
+            idx = jnp.concatenate([
+                idx, jnp.full((B, pad, H, 1), m.shape[0] - 1,
+                              jnp.int32)], axis=1)
+        Tp = T_PAD + pad
+        nb, nc = B // Bs, Tp // tc
+        # step order: block-major (all chunks of block 0, then 1, ...)
+        sub = (idx.reshape(nb, Bs, nc, tc, H, 1)
+               .transpose(0, 2, 1, 3, 4, 5)
+               .reshape(nb * nc, Bs, tc, H, 1))
+        W = m.shape[1]
+
+        def body(acc, xs):
+            i, rc = xs
+            cnt = _gather_count_once(m, rc, H).reshape(Bs, -1)
+            return lax.dynamic_update_slice(
+                acc, lax.dynamic_slice(
+                    acc, (i * Bs, 0), (Bs, W * 32)) + cnt,
+                (i * Bs, 0)), None
+
+        blk = jnp.repeat(jnp.arange(nb, dtype=jnp.int32), nc)
+        acc0 = jnp.zeros((B, W * 32), jnp.int32)
+        out, _ = lax.scan(body, acc0, (blk, sub))
+        return out.sum(axis=1)
+    return step
+
+
 def main():
     dev = jax.devices()[0]
     sig = 1 << LG_SIG
@@ -101,6 +166,11 @@ def main():
     for Bs, tc in GRID:
         variants[f"Bs{Bs}/tc{tc}"] = (
             make_scan(block_step(Bs, tc)), T_PAD + (-T_PAD) % tc)
+        variants[f"gtile{Bs}/{tc}"] = (
+            make_scan(gather_tiled_step(Bs, tc)),
+            T_PAD + (-T_PAD) % tc)
+        variants[f"flat{Bs}/{tc}"] = (
+            make_scan(flat_step(Bs, tc)), T_PAD + (-T_PAD) % tc)
 
     recs = {}
     for name, (f, rows_q) in variants.items():
