@@ -144,3 +144,40 @@ def test_federation_tier_fetch(tmp_path):
         want = cobs_tpu.Search(paths).search_batch(
             queries, threshold=thr, num_results=k)
         assert _pairs(got) == _pairs(want), (thr, k)
+
+
+def test_multipage_compact_topk_stream(tmp_path):
+    """TRUE multi-page compact (heterogeneous sizes straddling page
+    boundaries -> several distinct Bloom sizes, no uniform coalesce
+    factor): the streamed top-k path must equal the sync path and the
+    full-rank reference ordering. Covers the P>1 mask/merge serving
+    path (the tier fetch auto-disables when slot ids exceed uint16 —
+    also exercised here when the padded slot count is small enough
+    to stay enabled)."""
+    import cobs_tpu
+
+    rng = np.random.default_rng(13)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    tiers = [120, 240, 480, 960]
+    for i in range(64):
+        n = tiers[i % 4]
+        seq = bases[rng.integers(0, 4, size=n)].tobytes()
+        body = seq[:40] + QUERY.encode() + seq[40:] if i % 5 == 0 \
+            else seq
+        (docs / f"d{i:03d}.fasta").write_bytes(b">s\n" + body + b"\n")
+    idx = tmp_path / "het.cobs_compact"
+    cobs_tpu.compact_construct(
+        cobs_tpu.DocumentList(docs), idx,
+        index_params=cobs_tpu.CompactIndexParameters(page_size=2,
+                                                     clobber=True))
+    s = cobs_tpu.Search(str(idx))
+    assert s.index_files[0].num_pages > 1, "fixture must stay P>1"
+    queries = [QUERY, QUERY[4:40], QUERY[:44]] * 4
+    for thr, k in ((0.8, 100), (0.3, 6), (0.0, 12)):
+        got = list(s.search_stream(queries, threshold=thr,
+                                   num_results=k, batch_size=4))
+        want = cobs_tpu.Search(str(idx)).search_batch(
+            queries, threshold=thr, num_results=k)
+        assert _pairs(got) == _pairs(want), (thr, k)
