@@ -446,11 +446,76 @@ def _plan_chunks(T: int, h: int, budget_terms: int) -> int | None:
     return tc
 
 
-def _gather_count_once(matrix, rows_idx, num_hashes):
-    g = jnp.take(matrix, rows_idx, axis=0)          # [B, T, h, P, W] u32
+def _gather_and(matrix, rows_idx, num_hashes):
+    """take + AND across hash planes: [B, T, h, P] -> [B, T, P, W].
+
+    Indices flatten to 2-D before the take: gathering with trailing
+    unit h/P axes measured ~5% slower at wide rows (138 -> 132 GB/s,
+    experiments/wide24_tune.py) than the flat form."""
+    B, T, h, P = rows_idx.shape
+    if num_hashes == 1:
+        # no AND fold: skip the 5-D round trip through the unit h axis
+        g = jnp.take(matrix, rows_idx.reshape(B, T * P), axis=0)
+        return g.reshape(B, T, P, matrix.shape[1])
+    g = jnp.take(matrix, rows_idx.reshape(B, T * h * P), axis=0)
+    g = g.reshape(B, T, h, P, matrix.shape[1])      # u32
     anded = g[:, :, 0]
     for j in range(1, num_hashes):
-        anded = anded & g[:, :, j]                   # [B, T, P, W]
+        anded = anded & g[:, :, j]
+    return anded
+
+
+def _csa_to_planes(anded2d, L: int):
+    """Strided Wallace tree reduced to ONE packed plane per weight,
+    WITHOUT the int32 expansion: u32 [B, T, PW] -> u32 [L, B, PW]
+    (weight 2^k at index k; missing weights are zero planes). The
+    plane form is what crosses scan-chunk boundaries in the wide-row
+    accumulator (_gather_count_block planes_acc) — L words instead of
+    a [B, PW, 32] int32 read-modify-write per chunk."""
+    out = []
+    cur = anded2d
+    k = 0
+    while cur is not None and k < L:
+        carries = []
+        while cur.shape[1] > 1:
+            m = cur.shape[1]
+            if m == 2:
+                a, b = cur[:, 0:1], cur[:, 1:2]
+                carries.append(a & b)
+                cur = a ^ b
+                continue
+            n3 = m // 3 * 3
+            a, b, c = cur[:, 0:n3:3], cur[:, 1:n3:3], cur[:, 2:n3:3]
+            s, carry = _csa(a, b, c)
+            if m != n3:
+                s = jnp.concatenate([s, cur[:, n3:]], axis=1)
+            carries.append(carry)
+            cur = s
+        out.append(cur[:, 0])
+        cur = jnp.concatenate(carries, axis=1) if carries else None
+        k += 1
+    while len(out) < L:
+        out.append(jnp.zeros_like(out[0]))
+    return jnp.stack(out)
+
+
+def _bitplane_add(a, b):
+    """Ripple-carry add of two L-plane packed numbers [L, B, PW] u32.
+    Exact when both operands are < 2^(L-1) (the caller sizes L so the
+    running count can never reach the top weight)."""
+    L = a.shape[0]
+    c = jnp.zeros_like(a[0])
+    outs = []
+    for k in range(L):
+        ak, bk = a[k], b[k]
+        u = ak ^ bk
+        outs.append(u ^ c)
+        c = (ak & bk) | (c & u)
+    return jnp.stack(outs)
+
+
+def _gather_count_once(matrix, rows_idx, num_hashes):
+    anded = _gather_and(matrix, rows_idx, num_hashes)
     B, T, P, W = anded.shape
     if T >= _CSA_CHUNK:
         return _count_csa(anded)                     # [B, P, W, 32]
@@ -509,10 +574,21 @@ def _plan_tile(B: int, T: int, h: int, P: int, W: int,
     return Bs, tc0
 
 
-def _gather_count_block(matrix, rows_idx, num_hashes, tc):
+def _gather_count_block(matrix, rows_idx, num_hashes, tc,
+                        planes_acc=False):
     """rows block [Bs, T', h, P] -> [Bs, P, W, 32]; tc None = single
     shot, else T' % tc == 0 and the term axis streams through a
-    lax.scan of tc-term chunks."""
+    lax.scan of tc-term chunks.
+
+    planes_acc: carry the running count as ~log2(T) PACKED bit planes
+    (u32 [L, Bs, PW]) instead of the expanded int32 [Bs, P, W, 32]
+    accumulator, expanding ONCE after the scan. In the wide-row tiled
+    regime the expanded accumulator's read-modify-write plus the
+    per-chunk expansion write are ~40% of the chunk's gather bytes;
+    the plane carry cuts that to ~L words (measured 129 -> 138 GB/s
+    at the 24 KB-row shape, experiments/wide24_tune.py planes8/256).
+    At full-batch narrow rows the same change LOSES (141 -> 93 GB/s
+    measured) — callers enable it only when batch-tiling is active."""
     if tc is None:
         return _gather_count_once(matrix, rows_idx, num_hashes)
     Bs, Tp, h, P = rows_idx.shape
@@ -520,15 +596,32 @@ def _gather_count_block(matrix, rows_idx, num_hashes, tc):
     chunks = jnp.moveaxis(
         rows_idx.reshape(Bs, Tp // tc, tc, h, P), 1, 0)
 
-    def body(acc, idx_c):
-        return acc + _gather_count_once(matrix, idx_c, num_hashes), None
-
     # data-derived zero: inside shard_map the carry must share the
     # body output's varying manual axes (matrix varies over the doc
     # shard axis, rows_idx over the batch axis); XLA folds this to a
     # plain zeros fill
     zero = ((matrix[-1, 0] & jnp.uint32(0)).astype(jnp.int32)
             + rows_idx[0, 0, 0, 0] * 0)
+
+    if planes_acc:
+        L = Tp.bit_length() + 1   # running count <= Tp < 2^(L-1)
+
+        def pbody(acc, idx_c):
+            anded = _gather_and(matrix, idx_c, num_hashes)
+            planes = _csa_to_planes(anded.reshape(Bs, tc, P * W), L)
+            return _bitplane_add(acc, planes), None
+
+        acc0 = (jnp.zeros((L, Bs, P * W), jnp.uint32)
+                + zero.astype(jnp.uint32))
+        acc, _ = lax.scan(pbody, acc0, chunks)
+        total = jnp.zeros((Bs, P * W, 32), jnp.int32) + zero
+        for k in range(L):
+            total = total + (_expand32(acc[k]) << k)
+        return total.reshape(Bs, P, W, 32)
+
+    def body(acc, idx_c):
+        return acc + _gather_count_once(matrix, idx_c, num_hashes), None
+
     acc0 = jnp.zeros((Bs, P, W, 32), jnp.int32) + zero
     scores, _ = lax.scan(body, acc0, chunks)
     return scores
@@ -572,7 +665,8 @@ def _gather_count_planes(matrix: jax.Array, rows_idx: jax.Array,
         return _gather_count_block(matrix, rows_idx, num_hashes, tc)
     sub = rows_idx.reshape(B // Bs, Bs, T + pad, h, P)
     out = lax.map(
-        lambda rs: _gather_count_block(matrix, rs, num_hashes, tc), sub)
+        lambda rs: _gather_count_block(matrix, rs, num_hashes, tc,
+                                       planes_acc=True), sub)
     return out.reshape(B, P, W, 32)
 
 

@@ -6,8 +6,12 @@ BlockSpec kernel left open. Same timing protocol as
 experiments/gather_ceiling.py.
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -39,11 +43,11 @@ def main():
     rng = np.random.default_rng(11)
     N_ROWS = 16384
 
-    for W in (384, 4096, 16384):
+    for W in (384, 6144, 16384):
         # scale the scan-length difference so the differenced work is
         # >> the ~32 ms dispatch jitter at every row width
         K_S, K_L = 2, 2 + max(4, (200 << 20) // (N_ROWS * W * 4))
-        R = min(1 << 21, (8 << 30) // (W * 4))
+        R = min(1 << 21, (4 << 30) // (W * 4))
         mat = jax.jit(lambda k, R=R, W=W: jax.random.bits(
             k, (R, W), dtype=jnp.uint32))(jax.random.key(1))
         jax.block_until_ready(mat)

@@ -34,7 +34,7 @@ B, T, H = 64, 1000, 1
 T_PAD = _bucket(T)
 ROUNDS = 4
 LG_SIG, W = 17, 6144           # 24 KB rows, ~196k docs
-GRID = [(8, 256), (8, 128)]
+GRID = []
 
 
 def make_scan(step):
@@ -139,6 +139,130 @@ def flat_step(Bs, tc):
     return step
 
 
+def pipe_step(Bs, tc):
+    """Software-pipelined block: the scan body gathers chunk i+1's
+    rows while counting chunk i's already-gathered block — an explicit
+    data-independence the compiler can schedule as DMA || VPU. The
+    plain fused body measured ~zero overlap at wide rows (prod =
+    gather + count serially)."""
+    from cobs_tpu.query.engine import _count_csa
+
+    def step(m, idx):
+        pad = (-T_PAD) % tc
+        if pad:
+            idx = jnp.concatenate([
+                idx, jnp.full((B, pad, H, 1), m.shape[0] - 1,
+                              jnp.int32)], axis=1)
+        Tp = T_PAD + pad
+        W = m.shape[1]
+
+        def per_block(rs):                     # rs [Bs, Tp, H, 1]
+            rows = rs[..., 0, 0].reshape(Bs, Tp // tc, tc)
+            chunks = jnp.moveaxis(rows, 1, 0)  # [nc, Bs, tc]
+
+            def body(carry, idx_next):
+                acc, g_prev = carry
+                g_next = jnp.take(m, idx_next, axis=0)  # DMA next
+                acc = acc + _count_csa(
+                    g_prev[:, :, None, :])              # VPU prev
+                return (acc, g_next), None
+
+            g0 = jnp.take(m, chunks[0], axis=0)
+            acc0 = jnp.zeros((Bs, 1, W, 32), jnp.int32)
+            (acc, g_last), _ = lax.scan(body, (acc0, g0), chunks[1:])
+            acc = acc + _count_csa(g_last[:, :, None, :])
+            return acc
+
+        out = lax.map(per_block, idx.reshape(B // Bs, Bs, Tp, H, 1))
+        return out.reshape(B, -1).sum(axis=1)
+    return step
+
+
+def _csa_to_planes(anded, L):
+    """Strided Wallace tree to ONE plane per weight (no expansion):
+    u32 [B, T, PW] -> u32 [L, B, PW] (weight k at index k)."""
+    from cobs_tpu.query.engine import _csa
+
+    B, T, PW = anded.shape
+    out = []
+    cur = anded
+    k = 0
+    while cur is not None and k < L:
+        carries = []
+        while cur.shape[1] > 1:
+            m = cur.shape[1]
+            if m == 2:
+                a, b = cur[:, 0:1], cur[:, 1:2]
+                carries.append(a & b)
+                cur = a ^ b
+                continue
+            n3 = m // 3 * 3
+            a, b, c = cur[:, 0:n3:3], cur[:, 1:n3:3], cur[:, 2:n3:3]
+            s, carry = _csa(a, b, c)
+            if m != n3:
+                s = jnp.concatenate([s, cur[:, n3:]], axis=1)
+            carries.append(carry)
+            cur = s
+        out.append(cur[:, 0])
+        cur = jnp.concatenate(carries, axis=1) if carries else None
+        k += 1
+    while len(out) < L:
+        out.append(jnp.zeros_like(out[0]))
+    return jnp.stack(out)
+
+
+def _bitplane_add(a, b):
+    """Ripple add of two L-plane packed numbers [L, B, PW] u32."""
+    L = a.shape[0]
+    c = jnp.zeros_like(a[0])
+    outs = []
+    for k in range(L):
+        ak, bk = a[k], b[k]
+        outs.append(ak ^ bk ^ c)
+        c = (ak & bk) | (c & (ak ^ bk))
+    # L is sized so the top carry is provably zero (T < 2^L)
+    return jnp.stack(outs)
+
+
+def planes_step(Bs, tc):
+    """Chunk-scan whose CARRY is the packed plane accumulator: each
+    chunk's tree stops at one plane per weight and ripple-adds into
+    the carried planes; ONE expansion after the scan. Cuts the
+    per-chunk i32 expansion write + [*, W, 32] accumulator RW (the
+    count-side HBM traffic) to ~L planes of u32."""
+    from cobs_tpu.query.engine import _expand32
+
+    def step(m, idx):
+        pad = (-T_PAD) % tc
+        if pad:
+            idx = jnp.concatenate([
+                idx, jnp.full((B, pad, H, 1), m.shape[0] - 1,
+                              jnp.int32)], axis=1)
+        Tp = T_PAD + pad
+        W = m.shape[1]
+        L = Tp.bit_length() + 1
+
+        def per_block(rs):
+            rows = rs[..., 0, 0].reshape(Bs, Tp // tc, tc)
+            chunks = jnp.moveaxis(rows, 1, 0)
+
+            def body(acc, rc):
+                g = jnp.take(m, rc, axis=0)             # [Bs, tc, W]
+                planes = _csa_to_planes(g, L)
+                return _bitplane_add(acc, planes), None
+
+            acc0 = jnp.zeros((L, Bs, W), jnp.uint32)
+            acc, _ = lax.scan(body, acc0, chunks)
+            total = jnp.zeros((Bs, W, 32), jnp.int32)
+            for k in range(L):
+                total = total + (_expand32(acc[k]) << k)
+            return total
+
+        out = lax.map(per_block, idx.reshape(B // Bs, Bs, Tp, H, 1))
+        return out.reshape(B, -1).sum(axis=1)
+    return step
+
+
 def main():
     dev = jax.devices()[0]
     sig = 1 << LG_SIG
@@ -163,6 +287,9 @@ def main():
     # a multiple of tc with zero rows, which still cost full HBM time
     variants = {"gather": (make_scan(gather_step_fold), T_PAD),
                 "prod": (make_scan(prod_step), T_PAD + (-T_PAD) % 256)}
+    for Bs, tc in [(8, 256), (8, 512), (16, 256), (8, 128), (4, 512)]:
+        variants[f"planes{Bs}/{tc}"] = (
+            make_scan(planes_step(Bs, tc)), T_PAD + (-T_PAD) % tc)
     for Bs, tc in GRID:
         variants[f"Bs{Bs}/tc{tc}"] = (
             make_scan(block_step(Bs, tc)), T_PAD + (-T_PAD) % tc)
@@ -171,6 +298,10 @@ def main():
             T_PAD + (-T_PAD) % tc)
         variants[f"flat{Bs}/{tc}"] = (
             make_scan(flat_step(Bs, tc)), T_PAD + (-T_PAD) % tc)
+        variants[f"pipe{Bs}/{tc}"] = (
+            make_scan(pipe_step(Bs, tc)), T_PAD + (-T_PAD) % tc)
+        variants[f"planes{Bs}/{tc}"] = (
+            make_scan(planes_step(Bs, tc)), T_PAD + (-T_PAD) % tc)
 
     recs = {}
     for name, (f, rows_q) in variants.items():

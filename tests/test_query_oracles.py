@@ -360,3 +360,32 @@ def test_merge_topk_host_equals_lexsort():
             order = np.lexsort((doc[b], -v[b, :S].astype(np.int64)))[:k]
             assert np.array_equal(out_v[b], v[b][order]), (trial, b)
             assert np.array_equal(out_d[b], doc[b][order]), (trial, b)
+
+
+def test_wide_row_planes_accumulator_bit_exact(monkeypatch):
+    """The wide-row batch-tiled path (packed-plane scan carry,
+    _gather_count_block planes_acc) must count bit-exactly like the
+    untiled path. Force tiling at a small shape by shrinking the
+    fused-chunk budget."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from cobs_tpu.query import engine
+
+    rng = np.random.default_rng(31)
+    sig, W, B, T, h = 512, 128, 16, 600, 2
+    matrix = jnp.asarray(rng.integers(
+        0, 1 << 32, size=(sig + 1, W), dtype=np.uint64)
+        .astype(np.uint32)).at[-1].set(0)
+    rows = jnp.asarray(rng.integers(
+        0, sig, size=(B, T, h, 1), dtype=np.int64).astype(np.int32))
+
+    ref = np.asarray(engine._gather_count_planes(matrix, rows, h))
+    # budget below one full-batch chunk -> _plan_tile tiles the batch
+    monkeypatch.setattr(engine, "_FUSED_CHUNK_BYTES", 1 << 20)
+    Bs, tc = engine._plan_tile(B, T, h, 1, W,
+                               engine._plan_chunks(T, h, 1 << 30))
+    assert Bs < B and tc is not None, (Bs, tc)
+    got = np.asarray(engine._gather_count_planes(matrix, rows, h))
+    assert np.array_equal(got, ref)
