@@ -45,7 +45,7 @@ def drive_direct(search, queries, threshold, limit, batch):
     return n / dt
 
 
-def _client_proc(sock, qs, out_q):
+def _client_proc(sock, qs, out_q, pin_core=None):
     """One fully-pipelined near-zero-CPU client in its OWN process.
 
     The whole measurement runs on ONE 4-core host that also carries
@@ -54,9 +54,17 @@ def _client_proc(sock, qs, out_q):
     pre-encoded before the clock-relevant exchange and responses are
     COUNTED (newlines), not parsed, with the first/last line
     spot-validated. This measures the SERVER's capacity, which is what
-    a deployment with remote clients sees."""
+    a deployment with remote clients sees.
+
+    pin_core confines the client to one CPU (os.sched_setaffinity),
+    leaving the remaining cores to the server + tunnel relay — the
+    isolation probe for the relay-contention diagnosis."""
     import json
+    import os as os_mod
     import socket as socket_mod
+
+    if pin_core is not None:
+        os_mod.sched_setaffinity(0, {pin_core})
 
     payload = b"".join(
         json.dumps({"id": i, "query": q}).encode() + b"\n"
@@ -87,7 +95,7 @@ def _client_proc(sock, qs, out_q):
 
 
 def drive_served(search, queries, threshold, limit, batch, clients,
-                 linger_ms, warm):
+                 linger_ms, warm, pin_clients=False):
     import multiprocessing as mp
     import os as _os
     import sys as _sys
@@ -113,8 +121,10 @@ def drive_served(search, queries, threshold, limit, batch, clients,
         wp.start()
         out_q.get()
         wp.join()
+        ncpu = _os.cpu_count() or 4
         procs = [ctx.Process(target=_client_proc,
-                             args=(sock, per_client[i], out_q))
+                             args=(sock, per_client[i], out_q,
+                                   ncpu - 1 if pin_clients else None))
                  for i in range(clients)]
         t0 = time.perf_counter()
         for pr in procs:
@@ -145,6 +155,10 @@ def main():
     p.add_argument("--warmup", type=int, default=256)
     p.add_argument("--linger-ms", type=float, default=5.0)
     p.add_argument("--streamed", action="store_true")
+    p.add_argument("--pin-clients", action="store_true",
+                   help="ALSO run a served pass with every client "
+                        "pinned to the last CPU core (relay-"
+                        "contention isolation probe)")
     p.add_argument("--skip-direct", action="store_true")
     args = p.parse_args()
 
@@ -196,6 +210,14 @@ def main():
     if direct_qps:
         extra = (f" overhead_pct="
                  f"{100 * (1 - served_qps / direct_qps):.1f}")
+    if args.pin_clients:
+        s.timer_.reset()
+        pq, pp50, pp99 = drive_served(
+            s, queries, args.threshold, args.limit, args.batch,
+            args.clients, args.linger_ms, warm, pin_clients=True)
+        print(f"RESULT mode=served_pinned {base} "
+              f"clients={args.clients} queries_per_s={pq:.1f} "
+              f"lat_p50_ms={pp50} lat_p99_ms={pp99}", flush=True)
     print(f"RESULT mode=served {base} clients={args.clients} "
           f"linger_ms={args.linger_ms} "
           f"queries_per_s={served_qps:.1f} "
