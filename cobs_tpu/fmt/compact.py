@@ -148,3 +148,26 @@ def coalesce_factor(sig_sizes) -> int:
         if sig_sizes[i] != sig_sizes[i - 1]:
             m = math.gcd(m, i)
     return m
+
+
+def coalesce_runs(sig_sizes) -> list[tuple[int, int]]:
+    """Maximal runs of consecutive equal signature sizes:
+    [(start, length), ...] covering every page in order.
+
+    The RUN-length generalization of coalesce_factor for corpora whose
+    size tiers straddle page boundaries (realistic heterogeneous
+    corpora sorted by document size): no uniform factor exists there
+    (the change points share no divisor), but each equal-Bloom run
+    still merges column-wise bit-exactly — the merged pages just span
+    different numbers of original pages, which the query layer handles
+    through per-page doc offsets (engine.DocLayout)."""
+    runs = []
+    i = 0
+    P = len(sig_sizes)
+    while i < P:
+        j = i
+        while j + 1 < P and sig_sizes[j + 1] == sig_sizes[i]:
+            j += 1
+        runs.append((i, j - i + 1))
+        i = j + 1
+    return runs

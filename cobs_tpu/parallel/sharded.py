@@ -203,7 +203,7 @@ class ShardedIndex:
                     jnp.asarray(lens), *self._hash_args())
             return PendingSharded(lambda: assemble_scores(
                 _fetch(self.mesh, scores),
-                self.index.docs_per_page)[:len(queries)])
+                self.index.doc_layout)[:len(queries)])
 
         B = len(hashes_list)
         if self._seq_split(hashes_list):
@@ -215,7 +215,7 @@ class ShardedIndex:
                                    self.index.num_hashes)
         return PendingSharded(lambda: assemble_scores(
             _fetch(self.mesh, scores),
-            self.index.docs_per_page)[:B])
+            self.index.doc_layout)[:B])
 
     def _group_shapes(self, payloads):
         """Common (b_pad, t_pad) so K batches stack into one tensor
@@ -271,7 +271,7 @@ class ShardedIndex:
 
         def finish_for(g, B):
             return lambda: assemble_scores(
-                shared.get()[0][g], self.index.docs_per_page)[:B]
+                shared.get()[0][g], self.index.doc_layout)[:B]
 
         return [PendingSharded(finish_for(g, len(p)))
                 for g, p in enumerate(payloads)]
@@ -287,8 +287,9 @@ class ShardedIndex:
             return [self.score_topk_async(p, k) for p in payloads]
         ix = self.index
         if self._topk_mask is None:
-            mask = _doc_valid_mask(ix.num_pages, self.word_width,
-                                   ix.docs_per_page, len(ix.file_names))
+            mask = _doc_valid_mask(
+                ix.doc_layout.with_w32(self.word_width * 32),
+                len(ix.file_names))
             mask = mask.reshape(ix.num_pages, self.word_width, 32)
             self._topk_mask = jax.device_put(
                 mask, NamedSharding(self.mesh, P(None, "docs", None)))
@@ -320,7 +321,7 @@ class ShardedIndex:
             def finish():
                 v, gi = shared.get()
                 return _merge_topk_host(v[g], gi[g], W32,
-                                        ix.docs_per_page, B, k)
+                                        ix.doc_layout, B, k)
             return finish
 
         return [PendingSharded(finish_for(g, len(p)))
@@ -389,8 +390,9 @@ class ShardedIndex:
             rows_idx = (self._rows_idx_seq(hashes_list) if seq
                         else self._rows_idx(hashes_list))
         if self._topk_mask is None:
-            mask = _doc_valid_mask(ix.num_pages, self.word_width,
-                                   ix.docs_per_page, len(ix.file_names))
+            mask = _doc_valid_mask(
+                ix.doc_layout.with_w32(self.word_width * 32),
+                len(ix.file_names))
             mask = mask.reshape(ix.num_pages, self.word_width, 32)
             self._topk_mask = jax.device_put(
                 mask, NamedSharding(self.mesh, P(None, "docs", None)))
@@ -421,7 +423,7 @@ class ShardedIndex:
         def finish():
             return _merge_topk_host(_fetch(self.mesh, vals),
                                     _fetch(self.mesh, gidx), W32,
-                                    ix.docs_per_page, B, k)
+                                    ix.doc_layout, B, k)
 
         return PendingSharded(finish)
 
@@ -444,8 +446,7 @@ class _SharedMeshFetch:
         return self._host
 
 
-def _merge_topk_host(v, g, W32: int, docs_per_page: int, B: int,
-                     k: int):
+def _merge_topk_host(v, g, W32: int, lay, B: int, k: int):
     """Merge one batch's per-shard top-k candidates [B_pad, shards*k]
     into the engine.score_topk contract: (scores i32 [B, k'],
     doc_numbers i64 [B, k']), reference (score desc, doc asc) order.
@@ -459,7 +460,10 @@ def _merge_topk_host(v, g, W32: int, docs_per_page: int, B: int,
     v = v[:B].astype(np.int64)
     g = g[:B]
     kk = min(k, v.shape[1])
-    doc = (g.astype(np.int64) // W32) * docs_per_page + g % W32
+    page, local = g.astype(np.int64) // W32, g.astype(np.int64) % W32
+    dpp = lay.uniform_docs
+    doc = (page * dpp + local if dpp is not None
+           else lay.doc_offsets[page] + local)
     if v.size and (int(v.max()) >= 1 << 23 or int(doc.max()) >= 1 << 40):
         # composed key would overflow (queries beyond 8M terms or >1T
         # doc slots); keep the exact 2-key path for that regime
@@ -733,18 +737,29 @@ def train_step(mesh: Mesh, matrix: jax.Array, rows: jax.Array,
     return new_matrix, scores
 
 
-def assemble_scores(scores: jax.Array, docs_per_page: int) -> np.ndarray:
-    """[B, pages, W, 32] device scores -> host int32 [B, pages*dpp].
+def assemble_scores(scores: jax.Array, lay) -> np.ndarray:
+    """[B, pages, W, 32] device scores -> host int32 [B, counts_size].
 
-    Strips the per-shard word padding, keeping the first
-    ``docs_per_page`` score slots of each page (page-major layout,
-    matching the reference's 8-aligned score offsets, reference:
-    cobs/query/classic_search.cpp:413-429).
+    Strips the per-shard word padding, keeping each page's real doc
+    slots (page-major layout, matching the reference's 8-aligned score
+    offsets, reference: cobs/query/classic_search.cpp:413-429). `lay`
+    is the index's engine.DocLayout (or a plain uniform docs-per-page
+    int) — uniform pages take the reshape fast path, run-coalesced
+    pages concatenate per-page prefixes.
     """
     s = np.asarray(scores).astype(np.int32, copy=False)
     B, Pp = s.shape[0], s.shape[1]
-    s = s.reshape(B, Pp, -1)[:, :, :docs_per_page]
-    return np.ascontiguousarray(s.reshape(B, Pp * docs_per_page))
+    s = s.reshape(B, Pp, -1)
+    if isinstance(lay, (int, np.integer)):   # uniform docs-per-page
+        dpp = int(lay)
+        return np.ascontiguousarray(
+            s[:, :, :dpp].reshape(B, Pp * dpp))
+    dpp = lay.uniform_docs
+    if dpp is not None:
+        return np.ascontiguousarray(
+            s[:, :, :dpp].reshape(B, Pp * dpp))
+    return np.concatenate(
+        [s[:, p, :int(lay.page_docs[p])] for p in range(Pp)], axis=1)
 
 
 def score_seq_sharded(mesh: Mesh, matrix: jax.Array, rows_idx: jax.Array,

@@ -71,6 +71,56 @@ def _bytes_to_words(rows: np.ndarray, word_width: int) -> np.ndarray:
     return out.view("<u4")
 
 
+@dataclasses.dataclass(frozen=True)
+class DocLayout:
+    """Host-side mapping from device score slots to PUBLIC doc slots.
+
+    The device score tensor is page-major with `w32` slots per page
+    (word_width * 32, including per-page word padding); the public
+    layout is the reference's 8-aligned slots per ORIGINAL page with
+    no word padding (reference: cobs/query/classic_search.cpp:413-429).
+    Uniform indexes (classic, and compact merged by a uniform factor)
+    have equal `page_docs`; RUN-coalesced compact indexes (consecutive
+    equal-Bloom pages merged into variable-width groups) carry true
+    per-page doc counts and offsets — runs are consecutive and cover
+    the pages in order, so concatenating each merged page's real-doc
+    prefix reproduces the exact original slot numbering.
+    """
+
+    w32: int
+    page_docs: np.ndarray     # int64 [P] real doc slots per page
+    doc_offsets: np.ndarray   # int64 [P+1] public slot offsets
+
+    @property
+    def num_pages(self) -> int:
+        return len(self.page_docs)
+
+    @property
+    def counts_size(self) -> int:
+        return int(self.doc_offsets[-1])
+
+    @property
+    def uniform_docs(self) -> int | None:
+        """docs-per-page when every page holds the same count."""
+        d = self.page_docs
+        if len(d) and (d == d[0]).all():
+            return int(d[0])
+        return None
+
+    def with_w32(self, w32: int) -> "DocLayout":
+        """Same doc mapping over a different padded page row width
+        (mesh shards re-pad word_width to the mesh alignment)."""
+        return DocLayout(w32, self.page_docs, self.doc_offsets)
+
+
+def _uniform_layout(num_pages: int, word_width: int,
+                    docs_per_page: int) -> DocLayout:
+    pd = np.full(num_pages, docs_per_page, dtype=np.int64)
+    off = np.zeros(num_pages + 1, dtype=np.int64)
+    np.cumsum(pd, out=off[1:])
+    return DocLayout(word_width * 32, pd, off)
+
+
 @dataclasses.dataclass
 class DeviceIndex:
     """An index resident in device HBM."""
@@ -90,20 +140,39 @@ class DeviceIndex:
     page_size: int  # bytes per page row
     file_names: list[str]
     path: str = ""
+    #: int64 [P] real doc slots per (merged) page; None = uniform
+    #: 8*page_size (set by the run-coalesced compact load, where merged
+    #: pages span different numbers of original pages)
+    page_docs: np.ndarray | None = None
 
     @property
     def num_pages(self) -> int:
         return len(self.sig_sizes)
 
     @property
+    def doc_layout(self) -> DocLayout:
+        if self.page_docs is None:
+            return _uniform_layout(self.num_pages, self.word_width,
+                                   8 * self.page_size)
+        off = np.zeros(self.num_pages + 1, dtype=np.int64)
+        np.cumsum(self.page_docs, out=off[1:])
+        return DocLayout(self.word_width * 32, self.page_docs, off)
+
+    @property
     def counts_size(self) -> int:
         """Score slots including 8-alignment padding
         (reference: cobs/query/classic_index/search_file.cpp:21-23,
         compact_index/search_file.cpp)."""
+        if self.page_docs is not None:
+            return int(self.page_docs.sum())
         return 8 * self.page_size * self.num_pages
 
     @property
     def docs_per_page(self) -> int:
+        if self.page_docs is not None:
+            raise ValueError(
+                "run-coalesced index has variable docs per page; use "
+                "doc_layout")
         return 8 * self.page_size
 
     @classmethod
@@ -141,19 +210,37 @@ class DeviceIndex:
         # of one per page, and wide rows gather faster per byte. The
         # file keeps the reference's space-optimal small pages; this
         # re-layout exists only in HBM (`cobs repack` materializes it).
-        m = (fmt_compact.coalesce_factor(sig_sizes)
-             if os.environ.get("COBS_TPU_COALESCE_PAGES", "1") != "0"
-             else 1)
+        coalesce = os.environ.get("COBS_TPU_COALESCE_PAGES",
+                                  "1") != "0"
+        m = fmt_compact.coalesce_factor(sig_sizes) if coalesce else 1
+        page_docs = None
         if m > 1:
             matrix, sig_sizes = _load_matrix_coalesced(
                 path, off, sig_sizes, page_size, m)
             page_size *= m
             W = matrix.shape[1]
         else:
-            W = _pad_words(-(-page_size // 4))
-            matrix = _load_matrix_striped(path, off,
-                                          int(sum(sig_sizes)),
-                                          page_size, W)
+            runs = (fmt_compact.coalesce_runs(sig_sizes)
+                    if coalesce else [])
+            if any(n > 1 for _, n in runs):
+                # no uniform factor (size tiers straddle page
+                # boundaries), but equal-Bloom RUNS still merge
+                # column-wise bit-exactly; merged pages span variable
+                # numbers of original pages, tracked by per-page doc
+                # counts (DocLayout) — measured 14x serving on a
+                # 4-tier 20k-doc corpus with reference-default pages
+                matrix, sig_sizes = _load_matrix_coalesced(
+                    path, off, sig_sizes, page_size, 0, runs=runs)
+                page_docs = np.asarray(
+                    [8 * page_size * n for _, n in runs],
+                    dtype=np.int64)
+                page_size *= max(n for _, n in runs)
+                W = matrix.shape[1]
+            else:
+                W = _pad_words(-(-page_size // 4))
+                matrix = _load_matrix_striped(path, off,
+                                              int(sum(sig_sizes)),
+                                              page_size, W)
         if page_size * len(sig_sizes) > 1024 and page_size < 512:
             import sys
             print(f"NOTE: compact index has {len(sig_sizes)} pages of "
@@ -170,7 +257,7 @@ class DeviceIndex:
                    word_width=W, term_size=h.term_size,
                    canonicalize=h.canonicalize, num_hashes=num_hashes,
                    page_size=page_size, file_names=h.file_names,
-                   path=str(path))
+                   path=str(path), page_docs=page_docs)
 
     @classmethod
     def from_file(cls, path) -> "DeviceIndex":
@@ -237,21 +324,27 @@ def _load_matrix_striped(path, payload_off: int, total_rows: int,
 
 
 def _load_matrix_coalesced(path, payload_off: int, sig_sizes: list,
-                           page_size: int, m: int):
-    """Load a compact payload with groups of `m` equal-signature pages
-    merged column-wise into rows of m*page_size bytes.
+                           page_size: int, m: int, runs=None):
+    """Load a compact payload with groups of equal-signature pages
+    merged column-wise into wider rows.
 
     Merged page g row r = concat of member pages' row r (identical row
-    id per hash because the signature sizes are equal). m divides the
-    page count (fmt_compact.coalesce_factor), so every group is full
-    and the public score layout (counts_size, doc numbering) is
-    byte-identical to the unmerged load. Returns
+    id per hash because the signature sizes are equal). Uniform mode
+    (runs=None): groups of `m` pages, m | page count
+    (fmt_compact.coalesce_factor) — every group is full, so the public
+    score layout (counts_size, doc numbering) is byte-identical with
+    the uniform docs-per-page math. Run mode (runs=[(start, len)...]):
+    variable-length equal-signature runs merge into pages of different
+    widths, all zero-padded to the widest run; the caller must then
+    carry per-page doc counts (DeviceIndex.page_docs). Returns
     (matrix u32 [rows'+1, W'], merged sig_sizes).
     """
-    groups = [list(range(i, i + m))
-              for i in range(0, len(sig_sizes), m)]
+    if runs is None:
+        runs = [(i, m) for i in range(0, len(sig_sizes), m)]
+    groups = [list(range(s, s + n)) for s, n in runs]
     merged_sigs = [int(sig_sizes[g[0]]) for g in groups]
-    W = _pad_words(-(-(page_size * m) // 4))
+    max_len = max(n for _, n in runs)
+    W = _pad_words(-(-(page_size * max_len) // 4))
     total_rows = sum(merged_sigs)
     buf = _zeros_u32(total_rows + 1, W)
     offs = np.zeros(len(sig_sizes) + 1, dtype=np.int64)
@@ -705,16 +798,12 @@ class PendingScores:
     materialization (the only trustworthy sync on tunneled devices).
     """
 
-    __slots__ = ("_dev", "_B", "_num_pages", "_w32", "_docs_per_page",
-                 "_after")
+    __slots__ = ("_dev", "_B", "_lay", "_after")
 
-    def __init__(self, dev, B, num_pages, word_width, docs_per_page,
-                 after=None):
+    def __init__(self, dev, B, layout: DocLayout, after=None):
         self._dev = dev
         self._B = B
-        self._num_pages = num_pages
-        self._w32 = word_width * 32
-        self._docs_per_page = docs_per_page
+        self._lay = layout
         self._after = after
 
     def fetch(self) -> np.ndarray:
@@ -728,48 +817,56 @@ class PendingScores:
         (reference: cobs/query/classic_search.cpp:413-429).
         """
         scores = np.asarray(jax.block_until_ready(self._dev))[:self._B]
-        out = _strip_word_padding(scores, self._B, self._num_pages,
-                                  self._w32, self._docs_per_page)
+        out = _strip_word_padding(scores, self._B, self._lay)
         if self._after is not None:
             self._after()
         return out
 
 
-def _strip_word_padding(scores: np.ndarray, B: int, num_pages: int,
-                        w32: int, docs_per_page: int) -> np.ndarray:
+def _strip_word_padding(scores: np.ndarray, B: int,
+                        lay: DocLayout) -> np.ndarray:
     """Device [B, P*W*32] scores -> the public int32 [B, counts_size]
     contract (restores the dtype after the narrowed transfer and drops
-    per-page word padding)."""
+    per-page word padding — and, on run-coalesced indexes, each merged
+    page's phantom tail beyond its real doc count)."""
     scores = scores.astype(np.int32, copy=False)
-    if num_pages == 1:
-        return scores[:, :docs_per_page]
-    return (scores.reshape(B, num_pages, w32)[:, :, :docs_per_page]
-            .reshape(B, num_pages * docs_per_page))
+    P, w32 = lay.num_pages, lay.w32
+    dpp = lay.uniform_docs
+    if P == 1:
+        return scores[:, :int(lay.page_docs[0])]
+    if dpp is not None:
+        return (scores.reshape(B, P, w32)[:, :, :dpp]
+                .reshape(B, P * dpp))
+    pages = scores.reshape(B, P, w32)
+    return np.concatenate(
+        [pages[:, p, :int(lay.page_docs[p])] for p in range(P)],
+        axis=1)
 
 
-def _slot_doc_numbers(idx: np.ndarray, w32: int,
-                      docs_per_page: int) -> np.ndarray:
+def _slot_doc_numbers(idx: np.ndarray, lay: DocLayout) -> np.ndarray:
     """Flat padded score-slot ids -> global document numbers (the
     page-major numbering of score_batch's output)."""
     idx = idx.astype(np.int64, copy=False)  # u16 fetches would overflow
-    return (idx // w32) * docs_per_page + idx % w32
+    page, local = idx // lay.w32, idx % lay.w32
+    dpp = lay.uniform_docs
+    if dpp is not None:
+        return page * dpp + local
+    return lay.doc_offsets[page] + local
 
 
 class PendingTopK:
     """Handle for a dispatched-but-unfetched device top-k batch; the
     top-k analog of PendingScores (fetch overlaps later dispatches)."""
 
-    __slots__ = ("_vals", "_idx", "_tier", "_B", "_w32",
-                 "_docs_per_page", "_after")
+    __slots__ = ("_vals", "_idx", "_tier", "_B", "_lay", "_after")
 
-    def __init__(self, vals, idx, B, word_width, docs_per_page,
+    def __init__(self, vals, idx, B, layout: DocLayout,
                  after=None, tier=None):
         self._vals = vals
         self._idx = idx
         self._tier = tier
         self._B = B
-        self._w32 = word_width * 32
-        self._docs_per_page = docs_per_page
+        self._lay = layout
         self._after = after
 
     def fetch(self):
@@ -778,7 +875,7 @@ class PendingTopK:
         vals = _unshrink_topk_vals(
             np.asarray(jax.block_until_ready(self._vals))[:self._B])
         idx = np.asarray(self._idx)[:self._B]
-        docs = _slot_doc_numbers(idx, self._w32, self._docs_per_page)
+        docs = _slot_doc_numbers(idx, self._lay)
         if self._after is not None:
             self._after()
         return vals, docs
@@ -800,7 +897,7 @@ class PendingTopK:
             _tier_counters["full_fetches"] += 1
             return self.fetch()
         _tier_counters["tier_fetches"] += 1
-        docs = _slot_doc_numbers(i, self._w32, self._docs_per_page)
+        docs = _slot_doc_numbers(i, self._lay)
         if self._after is not None:
             self._after()
         return v, docs
@@ -985,8 +1082,7 @@ def score_batch_async(index: DeviceIndex,
         scores = _shrink_scores(scores, T_max)
         if timer:
             timer.stop()
-        return PendingScores(scores, B, index.num_pages,
-                             index.word_width, index.docs_per_page)
+        return PendingScores(scores, B, index.doc_layout)
     B = len(hashes_list)
     B_pad = _bucket(B)
     T_max = _bucket(max(h.shape[0] for h in hashes_list))
@@ -1004,8 +1100,7 @@ def score_batch_async(index: DeviceIndex,
     scores = _shrink_scores(scores, T_max)
     if timer:
         timer.stop()
-    return PendingScores(scores, B, index.num_pages, index.word_width,
-                         index.docs_per_page)
+    return PendingScores(scores, B, index.doc_layout)
 
 
 def score_batch(index: DeviceIndex, hashes_list: list[np.ndarray],
@@ -1119,6 +1214,11 @@ class StreamedIndex:
     @property
     def counts_size(self) -> int:
         return 8 * self.page_size * self.num_pages
+
+    @property
+    def doc_layout(self) -> DocLayout:
+        return _uniform_layout(self.num_pages, self.word_width,
+                               self.docs_per_page)
 
     def row_indices(self, hashes: np.ndarray) -> np.ndarray:
         """uint64 [T, h] -> global row ids int64 [T, h, P]."""
@@ -1350,8 +1450,7 @@ class StreamedIndex:
         scores = _shrink_scores(scores, T_max)
         if timer:
             timer.stop()
-        return PendingScores(scores, B, self.num_pages,
-                             self.word_width, self.docs_per_page,
+        return PendingScores(scores, B, self.doc_layout,
                              self._after_score())
 
     def score_batch(self, hashes_list, timer: Timer | None = None
@@ -1387,8 +1486,7 @@ class StreamedIndex:
         mask = getattr(self, "_valid_mask_dev", None)
         if mask is None:
             mask = jax.device_put(_doc_valid_mask(
-                self.num_pages, self.word_width, self.docs_per_page,
-                len(self.file_names)))
+                self.doc_layout, len(self.file_names)))
             self._valid_mask_dev = mask
         if timer:
             timer.active("and rows")
@@ -1397,9 +1495,8 @@ class StreamedIndex:
             min(k, int(mask.shape[0])))
         if timer:
             timer.stop()
-        return PendingTopK(vals, idx, B, self.word_width,
-                           self.docs_per_page, self._after_score(),
-                           tier=tier)
+        return PendingTopK(vals, idx, B, self.doc_layout,
+                           self._after_score(), tier=tier)
 
     def score_topk(self, hashes_list, k: int,
                    timer: Timer | None = None):
@@ -1423,16 +1520,16 @@ class StreamedIndex:
         return out
 
 
-def _doc_valid_mask(num_pages: int, word_width: int,
-                    docs_per_page: int, n_files: int) -> np.ndarray:
+def _doc_valid_mask(lay: DocLayout, n_files: int) -> np.ndarray:
     """bool [P*W*32]: True for score slots of real documents (excludes
-    per-page word padding and 8-alignment slots beyond the file count).
-    """
-    W32 = word_width * 32
-    slots = np.arange(num_pages * W32)
-    local = slots % W32
-    doc_number = slots // W32 * docs_per_page + local
-    return (local < docs_per_page) & (doc_number < n_files)
+    per-page word padding — and each merged page's phantom tail on
+    run-coalesced indexes — plus 8-alignment slots beyond the file
+    count)."""
+    W32 = lay.w32
+    slots = np.arange(lay.num_pages * W32)
+    page, local = slots // W32, slots % W32
+    doc_number = lay.doc_offsets[page] + local
+    return (local < lay.page_docs[page]) & (doc_number < n_files)
 
 
 
@@ -1446,8 +1543,7 @@ def _topk_mask(index) -> jax.Array:
     mask = getattr(index, "_valid_mask", None)
     if mask is None:
         mask = jax.device_put(_doc_valid_mask(
-            index.num_pages, index.word_width, index.docs_per_page,
-            len(index.file_names)))
+            index.doc_layout, len(index.file_names)))
         index._valid_mask = mask
     return mask
 
@@ -1564,8 +1660,8 @@ def score_topk_async(index: DeviceIndex, hashes_list, k: int,
                 index.zero_row, min(k, int(mask0.shape[0])), plen)
         if timer:
             timer.stop()
-        return PendingTopK(vals, idx, B, index.word_width,
-                           index.docs_per_page, tier=tier)
+        return PendingTopK(vals, idx, B, index.doc_layout,
+                           tier=tier)
     B = len(hashes_list)
     B_pad = _bucket(B)
     T_max = _bucket(max(h.shape[0] for h in hashes_list))
@@ -1585,8 +1681,7 @@ def score_topk_async(index: DeviceIndex, hashes_list, k: int,
         min(k, int(mask.shape[0])))
     if timer:
         timer.stop()
-    return PendingTopK(vals, idx, B, index.word_width,
-                       index.docs_per_page, tier=tier)
+    return PendingTopK(vals, idx, B, index.doc_layout, tier=tier)
 
 
 def score_topk(index: DeviceIndex, hashes_list, k: int,
@@ -1660,42 +1755,35 @@ class _SharedFetch:
 class PendingScoresView:
     """PendingScores over one batch slice of a mega-dispatch."""
 
-    __slots__ = ("_shared", "_g", "_B", "_num_pages", "_w32",
-                 "_docs_per_page")
+    __slots__ = ("_shared", "_g", "_B", "_lay")
 
-    def __init__(self, shared, g, B, num_pages, word_width,
-                 docs_per_page):
+    def __init__(self, shared, g, B, layout: DocLayout):
         self._shared = shared
         self._g = g
         self._B = B
-        self._num_pages = num_pages
-        self._w32 = word_width * 32
-        self._docs_per_page = docs_per_page
+        self._lay = layout
 
     def fetch(self) -> np.ndarray:
         scores = self._shared.get()[0][self._g][:self._B]
-        return _strip_word_padding(scores, self._B, self._num_pages,
-                                   self._w32, self._docs_per_page)
+        return _strip_word_padding(scores, self._B, self._lay)
 
 
 class PendingTopKView:
     """PendingTopK over one batch slice of a mega-dispatch."""
 
-    __slots__ = ("_shared", "_g", "_B", "_w32", "_docs_per_page")
+    __slots__ = ("_shared", "_g", "_B", "_lay")
 
-    def __init__(self, shared, g, B, word_width, docs_per_page):
+    def __init__(self, shared, g, B, layout: DocLayout):
         self._shared = shared
         self._g = g
         self._B = B
-        self._w32 = word_width * 32
-        self._docs_per_page = docs_per_page
+        self._lay = layout
 
     def fetch(self):
         vals = self._shared.get_one(0)
         idx = self._shared.get_one(1)
         v = _unshrink_topk_vals(vals[self._g][:self._B])
-        docs = _slot_doc_numbers(idx[self._g][:self._B], self._w32,
-                                 self._docs_per_page)
+        docs = _slot_doc_numbers(idx[self._g][:self._B], self._lay)
         return v, docs
 
     def fetch_topk(self, lims, cap: int):
@@ -1710,7 +1798,7 @@ class PendingTopKView:
             _tier_counters["full_fetches"] += 1
             return self.fetch()
         _tier_counters["tier_fetches"] += 1
-        docs = _slot_doc_numbers(i, self._w32, self._docs_per_page)
+        docs = _slot_doc_numbers(i, self._lay)
         return v, docs
 
 
@@ -1853,8 +1941,8 @@ def score_batch_multi_async(index: DeviceIndex, payloads: list,
     if timer:
         timer.stop()
     shared = _SharedFetch(scores)
-    return [PendingScoresView(shared, g, len(p), index.num_pages,
-                              index.word_width, index.docs_per_page)
+    lay = index.doc_layout
+    return [PendingScoresView(shared, g, len(p), lay)
             for g, p in enumerate(payloads)]
 
 
@@ -1885,6 +1973,6 @@ def score_topk_multi_async(index: DeviceIndex, payloads: list, k: int,
     if timer:
         timer.stop()
     shared = _SharedFetch(vals, idx, tier)
-    return [PendingTopKView(shared, g, len(p), index.word_width,
-                            index.docs_per_page)
+    lay = index.doc_layout
+    return [PendingTopKView(shared, g, len(p), lay)
             for g, p in enumerate(payloads)]

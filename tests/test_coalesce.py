@@ -91,8 +91,12 @@ def test_coalesced_scores_bit_exact(tmp_path, rng, monkeypatch, layout):
         score_batch(merged, hashes), score_batch(plain, hashes))
 
 
-def test_unmergeable_layout_stays_unmerged(tmp_path, rng, monkeypatch):
-    # sizes [a, a, a, b]: the run break at 3 does not divide 4 pages
+def test_run_coalesce_without_uniform_factor(tmp_path, rng,
+                                             monkeypatch):
+    """Sizes [a, a, a, b]: the run break at 3 divides nothing, so no
+    uniform factor exists — the RUN coalescer merges the 3-page run
+    anyway, tracking variable doc counts per merged page
+    (DeviceIndex.page_docs), and every score stays bit-exact."""
     doc_lens = [300] * 48 + [4000] * 16
     docs = _build_corpus(tmp_path, rng, doc_lens)
     idx = tmp_path / "x.cobs_compact"
@@ -101,7 +105,62 @@ def test_unmergeable_layout_stays_unmerged(tmp_path, rng, monkeypatch):
         index_params=cobs_tpu.CompactIndexParameters(
             num_hashes=1, page_size=2, clobber=True))
     plain, merged = _load_both(monkeypatch, idx)
-    assert plain.num_pages == merged.num_pages == 4
+    assert plain.num_pages == 4
+    assert merged.num_pages == 2
+    assert list(merged.page_docs) == [48, 16]
+    assert merged.counts_size == plain.counts_size
+    assert merged.file_names == plain.file_names
+
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    queries = [bases[rng.integers(0, 4, size=n)].tobytes()
+               for n in (31, 64, 200)]
+    seq = (docs / "d000.fasta").read_bytes().splitlines()[1]
+    queries.append(seq[40:140])
+    seq2 = (docs / "d060.fasta").read_bytes().splitlines()[1]
+    queries.append(seq2[100:400])   # positive in the second run
+    hashes = create_hashes(queries, plain.term_size, plain.num_hashes,
+                           plain.canonicalize)
+    np.testing.assert_array_equal(
+        score_batch(merged, hashes), score_batch(plain, hashes))
+
+
+def test_run_coalesce_search_paths_exact(tmp_path, rng, monkeypatch):
+    """Full Search surface over a run-coalesced index (4-tier corpus,
+    tiers straddling page boundaries): full-rank, top-k, and the
+    streamed top-k must equal the uncoalesced load exactly."""
+    doc_lens = ([120] * 13 + [240] * 13 + [480] * 13 + [960] * 25)
+    docs = _build_corpus(tmp_path, rng, doc_lens)
+    idx = tmp_path / "x.cobs_compact"
+    cobs_tpu.compact_construct(
+        cobs_tpu.DocumentList(docs), idx,
+        index_params=cobs_tpu.CompactIndexParameters(
+            num_hashes=1, page_size=2, clobber=True))
+    merged = DeviceIndex.from_file(idx)
+    assert merged.page_docs is not None, "fixture must run-coalesce"
+    monkeypatch.setenv("COBS_TPU_COALESCE_PAGES", "0")
+    plain = DeviceIndex.from_file(idx)
+    monkeypatch.delenv("COBS_TPU_COALESCE_PAGES")
+    assert plain.num_pages > merged.num_pages
+
+    s_m = cobs_tpu.Search(merged)
+    s_p = cobs_tpu.Search(plain)
+    seqs = [(docs / f"d{i:03d}.fasta").read_bytes().splitlines()[1]
+            for i in (0, 20, 40, 60)]
+    queries = [seqs[0][:80].decode(), seqs[1][10:90].decode(),
+               seqs[2][:45].decode(), seqs[3][200:500].decode()] * 3
+
+    def pairs(results):
+        return [[(r.doc_name, r.score) for r in rl] for rl in results]
+
+    for thr, k in ((0.0, 0), (0.5, 0), (0.8, 100), (0.1, 5)):
+        got = s_m.search_batch(queries, threshold=thr, num_results=k)
+        want = s_p.search_batch(queries, threshold=thr, num_results=k)
+        assert pairs(got) == pairs(want), (thr, k)
+    got = list(s_m.search_stream(queries, threshold=0.2,
+                                 num_results=7, batch_size=4))
+    want = list(s_p.search_stream(queries, threshold=0.2,
+                                  num_results=7, batch_size=4))
+    assert pairs(got) == pairs(want)
 
 
 def test_repack_bit_exact_and_queryable(tmp_path, rng, monkeypatch):

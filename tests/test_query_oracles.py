@@ -342,9 +342,11 @@ def test_merge_topk_host_equals_lexsort():
     import numpy as np
 
     from cobs_tpu.parallel.sharded import _merge_topk_host
+    from cobs_tpu.query.engine import _uniform_layout
 
     rng = np.random.default_rng(41)
     W32, docs_per_page = 64, 64
+    lay = _uniform_layout(4, W32 // 32, docs_per_page)
     for trial in range(5):
         B, k, shards = int(rng.integers(1, 9)), 10, 4
         S = shards * k
@@ -353,7 +355,7 @@ def test_merge_topk_host_equals_lexsort():
         g = np.stack([rng.permutation(4 * W32)[:S]
                       for _ in range(B + 1)]).astype(np.int32)
         v = rng.integers(-1, 5, size=(B + 1, S)).astype(np.int32)
-        out_v, out_d = _merge_topk_host(v, g, W32, docs_per_page, B, k)
+        out_v, out_d = _merge_topk_host(v, g, W32, lay, B, k)
         doc = (g[:B].astype(np.int64) // W32) * docs_per_page \
             + g[:B] % W32
         for b in range(B):
