@@ -222,7 +222,8 @@ class DeviceIndex:
         else:
             runs = (fmt_compact.coalesce_runs(sig_sizes)
                     if coalesce else [])
-            if any(n > 1 for _, n in runs):
+            if any(n > 1 for _, n in runs) and _runs_worthwhile(
+                    runs, sig_sizes, page_size):
                 # no uniform factor (size tiers straddle page
                 # boundaries), but equal-Bloom RUNS still merge
                 # column-wise bit-exactly; merged pages span variable
@@ -321,6 +322,24 @@ def _load_matrix_striped(path, payload_off: int, total_rows: int,
             buf = _write_stripe(buf, jnp.asarray(words), np.int32(r))
             r += n
     return buf
+
+
+def _runs_worthwhile(runs, sig_sizes, page_size: int) -> bool:
+    """Whether run-length merging pays: every merged page zero-pads to
+    the WIDEST run's width, so a skewed run profile (one long run plus
+    distinct-size tails) can inflate HBM footprint and per-term gather
+    bytes past the unmerged layout. Merge only when both shrink-or-
+    hold: merged gather bytes per term <= unmerged, and merged HBM
+    <= 1.25x unmerged (both computed on the 128-word-padded widths the
+    device actually stores)."""
+    max_len = max(n for _, n in runs)
+    merged_row = _pad_words(-(-(page_size * max_len) // 4)) * 4
+    plain_row = _pad_words(-(-page_size // 4)) * 4
+    if merged_row * len(runs) > plain_row * len(sig_sizes):
+        return False
+    merged_hbm = sum(int(sig_sizes[s]) for s, _ in runs) * merged_row
+    plain_hbm = int(sum(sig_sizes)) * plain_row
+    return merged_hbm <= 1.25 * plain_hbm
 
 
 def _load_matrix_coalesced(path, payload_off: int, sig_sizes: list,
@@ -1599,6 +1618,9 @@ def _tier_sufficient(tier_vals: np.ndarray, lims, cap: int) -> bool:
     and rows sort score-descending, so a tier whose LAST score is
     already below the row's floor contains the whole hit prefix."""
     if cap and cap <= tier_vals.shape[-1]:
+        # defensive: callers currently dispatch k == cap, and a tier is
+        # only emitted for k > _TOPK_TIER, so this fires only if a
+        # future caller decouples the ranked cap from the dispatched k
         return True
     lims = np.asarray(lims)[:tier_vals.shape[0]]
     return not np.any(tier_vals[:, -1] >= lims)

@@ -554,8 +554,20 @@ class Search:
             else:
                 ml = self._sparse_lims_multi(qbytes, threshold)
                 lims_multi = list(ml)
-            tier = settings.tier_fetch
-            fetched = [p.fetch_topk(lims_multi[k], num_results)
+            # errored rows' results are discarded, so their floors must
+            # not force a tier escalation (a too-short query's floor
+            # computes to 0, which no valid score is ever below)
+            err = np.asarray([e is not None for e in errors])
+            tier_lims = lims_multi
+            if err.any():
+                tier_lims = [np.where(err[:len(lm)], np.int64(1) << 30,
+                                      lm) for lm in lims_multi]
+            # a floor of 0 can never fit the tier (valid docs score
+            # >= 0): skip the prefix fetch rather than pay a wasted
+            # round trip before the inevitable full fetch
+            tier = settings.tier_fetch and all(
+                lm.min() > 0 for lm in tier_lims if len(lm))
+            fetched = [p.fetch_topk(tier_lims[k], num_results)
                        if tier and hasattr(p, "fetch_topk")
                        else p.fetch()
                        for k, p in enumerate(pending)]

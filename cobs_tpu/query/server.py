@@ -286,6 +286,8 @@ class QueryServer:
         # linger is capped to a small fraction of the target too
         self.slo_ms = float(slo_ms)
         self._slo_last = 0.0
+        self._lat_count = 0     # cumulative samples (AIMD freshness)
+        self._slo_seen = 0      # _lat_count at the last adjustment
         # monotonic stamp of the scorer's latest progress; None = idle.
         # Stale while the scorer is blocked inside device work (float
         # read/write is atomic — intake reads it lock-free).
@@ -536,16 +538,23 @@ class QueryServer:
         cap — each response's queue+device latency scales with the
         batches packed per program — and a p99 comfortably under it
         (<70%) grows the cap back one step, restoring throughput once
-        the load allows. Re-evaluated at most every 250 ms so one
-        group's outliers do not whipsaw the ceiling."""
+        the load allows. Each adjustment requires FRESH evidence: at
+        most one per 250 ms AND >= 32 new samples since the last one,
+        judged over only those new samples — otherwise one transient
+        slow group would stay the last-256 window at low request
+        rates and cascade multiple halvings."""
         if self.slo_ms <= 0:
             return
         now = time.monotonic()
         if now - self._slo_last < 0.25:
             return
-        self._slo_last = now
         with self._lock:
-            recent = list(self._lat)[-256:]
+            fresh = self._lat_count - self._slo_seen
+            if fresh < 32:
+                return
+            recent = list(self._lat)[-min(256, fresh):]
+        self._slo_last = now
+        self._slo_seen = self._lat_count
         if not recent:
             return
         recent.sort()
@@ -906,6 +915,7 @@ class QueryServer:
         now = time.monotonic()
         with self._lock:
             self._lat.extend((now - it[5]) * 1e3 for it in items)
+            self._lat_count += len(items)
         if t_rank is None:
             t_rank = self.t_floor
         for (conn, rid, _q, thr, lim, _t0), qb, res in zip(

@@ -178,59 +178,16 @@ def pipe_step(Bs, tc):
     return step
 
 
-def _csa_to_planes(anded, L):
-    """Strided Wallace tree to ONE plane per weight (no expansion):
-    u32 [B, T, PW] -> u32 [L, B, PW] (weight k at index k)."""
-    from cobs_tpu.query.engine import _csa
-
-    B, T, PW = anded.shape
-    out = []
-    cur = anded
-    k = 0
-    while cur is not None and k < L:
-        carries = []
-        while cur.shape[1] > 1:
-            m = cur.shape[1]
-            if m == 2:
-                a, b = cur[:, 0:1], cur[:, 1:2]
-                carries.append(a & b)
-                cur = a ^ b
-                continue
-            n3 = m // 3 * 3
-            a, b, c = cur[:, 0:n3:3], cur[:, 1:n3:3], cur[:, 2:n3:3]
-            s, carry = _csa(a, b, c)
-            if m != n3:
-                s = jnp.concatenate([s, cur[:, n3:]], axis=1)
-            carries.append(carry)
-            cur = s
-        out.append(cur[:, 0])
-        cur = jnp.concatenate(carries, axis=1) if carries else None
-        k += 1
-    while len(out) < L:
-        out.append(jnp.zeros_like(out[0]))
-    return jnp.stack(out)
-
-
-def _bitplane_add(a, b):
-    """Ripple add of two L-plane packed numbers [L, B, PW] u32."""
-    L = a.shape[0]
-    c = jnp.zeros_like(a[0])
-    outs = []
-    for k in range(L):
-        ak, bk = a[k], b[k]
-        outs.append(ak ^ bk ^ c)
-        c = (ak & bk) | (c & (ak ^ bk))
-    # L is sized so the top carry is provably zero (T < 2^L)
-    return jnp.stack(outs)
-
-
 def planes_step(Bs, tc):
     """Chunk-scan whose CARRY is the packed plane accumulator: each
     chunk's tree stops at one plane per weight and ripple-adds into
     the carried planes; ONE expansion after the scan. Cuts the
     per-chunk i32 expansion write + [*, W, 32] accumulator RW (the
-    count-side HBM traffic) to ~L planes of u32."""
-    from cobs_tpu.query.engine import _expand32
+    count-side HBM traffic) to ~L planes of u32. (Productionized as
+    engine._gather_count_block planes_acc — the helpers are imported
+    from there so the benchmark measures the shipped code.)"""
+    from cobs_tpu.query.engine import (_bitplane_add, _csa_to_planes,
+                                       _expand32)
 
     def step(m, idx):
         pad = (-T_PAD) % tc

@@ -243,3 +243,21 @@ def test_repack_rejects_same_path(tmp_path, rng):
             num_hashes=1, page_size=1, clobber=True))
     with pytest.raises(ValueError, match="must differ from input"):
         compact_repack(idx, idx, clobber=True)
+
+
+def test_run_coalesce_skips_wasteful_skew():
+    """A skewed run profile (one long run + many distinct tail sizes)
+    would pad every merged page to the long run's width — the
+    worthwhileness guard must refuse it (HBM/gather inflation),
+    keeping the unmerged load."""
+    from cobs_tpu.query.engine import _runs_worthwhile
+    from cobs_tpu.fmt.compact import coalesce_runs
+
+    # 64 equal pages then 8 distinct large-signature pages
+    sig_sizes = [1000] * 64 + [2000 + i for i in range(8)]
+    runs = coalesce_runs(sig_sizes)
+    assert max(n for _, n in runs) == 64
+    assert not _runs_worthwhile(runs, sig_sizes, page_size=64)
+    # balanced runs stay worthwhile
+    sig2 = [1000] * 9 + [2000] * 10 + [3000] * 10 + [4000] * 11
+    assert _runs_worthwhile(coalesce_runs(sig2), sig2, page_size=64)

@@ -923,16 +923,27 @@ def test_slo_aimd_growth_and_shrink(index_file, tmp_path):
                       threshold=0.0, slo_ms=1000.0)
     with srv:  # idle server: the scorer never calls _slo_adjust
         srv._mega_eff = 1
-        srv._lat.extend([1.0] * 64)      # p99 = 1 ms << 0.7 * 1000
+
+        def feed(samples):
+            # what _emit_ranked does: samples + the freshness counter
+            srv._lat.extend(samples)
+            srv._lat_count += len(samples)
+
+        feed([1.0] * 64)                 # p99 = 1 ms << 0.7 * 1000
         for step in range(1, srv._mega):
             srv._slo_last = 0.0          # bypass the 250 ms pacing
+            feed([1.0] * 32)             # adjustments need fresh samples
             srv._slo_adjust()
             assert srv._mega_eff == 1 + step
         assert srv._mega_eff == srv._mega
         srv._slo_last = 0.0
-        srv._slo_adjust()                # at the cap: no further growth
+        srv._slo_adjust()                # NO fresh samples: no change
         assert srv._mega_eff == srv._mega
-        srv._lat.extend([5000.0] * 256)  # violating window
+        feed([5000.0] * 256)             # violating window
+        srv._slo_last = 0.0
+        srv._slo_adjust()
+        assert srv._mega_eff == max(1, srv._mega // 2)
+        # the SAME stale window must not cascade a second halving
         srv._slo_last = 0.0
         srv._slo_adjust()
         assert srv._mega_eff == max(1, srv._mega // 2)
