@@ -585,6 +585,16 @@ def cmd_info(argv):
                   f"{m * h.page_size} B pages, bit-preserving "
                   f"(`cobs repack`; the query engine merges in HBM "
                   "automatically)")
+        else:
+            runs = fco.coalesce_runs(
+                [(p_.signature_size, p_.num_hashes)
+                 for p_ in h.parameters])
+            if any(n > 1 for _, n in runs):
+                print(f"mergeable       {len(runs)} equal-size RUNS "
+                      f"(longest {max(n for _, n in runs)} pages); no "
+                      "uniform factor, so `cobs repack` cannot "
+                      "materialize it — the query engine merges the "
+                      "runs in HBM automatically")
         if h.page_size < 512:
             extra = ("" if m * h.page_size >= 512
                      else "; rebuild with --page-size >= 512 for "
