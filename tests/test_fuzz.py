@@ -37,8 +37,14 @@ def test_random_config_own_substring_invariant(tmp_path, seed):
     docs = tmp_path / "docs"
     docs.mkdir()
     seqs = []
+    # ~half the seeds draw sizes from a few TIERS: repeated sizes
+    # create equal-Bloom page runs, exercising the load-time coalescers
+    # (uniform-factor AND run-length merges) differentially
+    tiers = (sorted(int(rng.integers(3 * k, 40 * k)) for _ in range(3))
+             if rng.integers(0, 2) else None)
     for i in range(n_docs):
-        n = int(rng.integers(3 * k, 40 * k))
+        n = (int(rng.choice(tiers)) if tiers
+             else int(rng.integers(3 * k, 40 * k)))
         seq = bases[rng.integers(0, 4, size=n)].tobytes()
         seqs.append(seq)
         (docs / f"d{i:03d}.fasta").write_bytes(b">s\n" + seq + b"\n")
