@@ -817,22 +817,31 @@ def cmd_benchmark_fpr(argv):
     from cobs_tpu.utils.misc import random_sequence_rng
     rng = np.random.default_rng(args.seed)
 
-    warmup = [random_sequence_rng(args.num_kmers + 30, rng)
-              for _ in range(args.warmup)]
-    queries = [random_sequence_rng(args.num_kmers + 30, rng)
-               for _ in range(args.queries)]
-
     if args.cold or args.streamed:
         backend = StreamedIndex(args.in_file, drop_cache=args.cold)
         s = Search(backend)
+        n_warm = args.warmup
     else:
         backend = None
         s = Search(args.in_file)
-    for i in range(0, len(warmup), args.batch):
-        # same threshold/limit as the measured loop so the top-k
-        # program (a different jit) compiles during warmup
-        s.search_batch(warmup[i:i + args.batch], args.threshold,
-                       args.limit)
+        # a device backend's measured loop packs up to mega_batches
+        # batches per program (powers of two): the warmup must run
+        # enough queries THROUGH THE STREAM to compile every ladder
+        # variant, or those compiles land inside measured t_io
+        # (observed: 3.5k vs 13.9k q/s for the same run)
+        from cobs_tpu.settings import settings as _st
+        n_warm = max(args.warmup,
+                     args.batch * 2 * max(1, _st.mega_batches))
+    warmup = [random_sequence_rng(args.num_kmers + 30, rng)
+              for _ in range(n_warm)]
+    queries = [random_sequence_rng(args.num_kmers + 30, rng)
+               for _ in range(args.queries)]
+    # warm through the SAME streaming path as the measured loop (the
+    # sync search_batch compiles a different, single-batch program)
+    for _ in s.search_stream(warmup, threshold=args.threshold,
+                             num_results=args.limit,
+                             batch_size=args.batch):
+        pass
     s.timer().reset()
     if args.cold:
         backend.drop_cache()  # the measured loop starts cold too
