@@ -634,6 +634,8 @@ class Search:
         DEPTH = 2   # bounded: unbounded async enqueue poisons
         # tunneled devices (see PendingScores)
         MEGA = self._mega_k_capped(batch_size, num_results)
+        AHEAD = max(1, int(settings.hash_ahead))
+        GROUPS = max(1, int(settings.dispatch_groups))
         total_docs = sum(len(ix.file_names) for ix in self.index_files)
 
         def hash_next():
@@ -664,22 +666,27 @@ class Search:
             ready.clear()
 
         with concurrent.futures.ThreadPoolExecutor(1) as pool:
-            pending = pool.submit(hash_next)
+            # the single worker executes queued hash_next calls FIFO,
+            # so query order is preserved at any ahead depth; depth 1
+            # hashes exactly one batch ahead, deeper keeps the worker
+            # busy through the main thread's dispatch+fetch+rank
+            hash_q = collections.deque(
+                pool.submit(hash_next) for _ in range(AHEAD))
             while True:
-                qbytes, hashed, errors, t = pending.result()
+                qbytes, hashed, errors, t = hash_q.popleft().result()
                 if qbytes is None:
                     break
                 self.timer_.merge(t)
-                pending = pool.submit(hash_next)
+                hash_q.append(pool.submit(hash_next))
                 ready.append((qbytes, hashed, errors))
                 if len(ready) >= MEGA:
                     flush()
-                # window in batches: two mega groups ahead stay
+                # window in batches: GROUPS mega groups ahead stay
                 # dispatched while the previous drains, so the device
                 # never idles through the host's fetch+rank+dispatch
                 # phase (bounded: unbounded enqueue poisons tunneled
                 # devices); MEGA == 1 reduces to the plain DEPTH
-                while len(inflight) > max(DEPTH, 2 * MEGA):
+                while len(inflight) > max(DEPTH, GROUPS * MEGA):
                     yield from finish(*inflight.popleft())
             if ready:
                 flush()

@@ -56,6 +56,19 @@ class Settings:
     #! the dispatch-bound regime).
     mega_batches: int = int(os.environ.get("COBS_TPU_MEGA_BATCHES",
                                            "16"))
+    #! batches the hashing worker prepares AHEAD of the serving loop's
+    #! dispatcher (search_stream). 1 = hash exactly one batch ahead
+    #! (the pre-r5 behavior); deeper values let the single hash worker
+    #! run through the main thread's pack+dispatch+fetch+rank phases
+    #! so a whole mega group is hashed by the time the dispatcher
+    #! wants it. Cost: one raw query batch (~1 MB at B=1024) per slot.
+    hash_ahead: int = int(os.environ.get("COBS_TPU_HASH_AHEAD", "1"))
+    #! mega-dispatch groups kept in flight (dispatched-ahead) by
+    #! search_stream before it blocks fetching the oldest. 2 = the
+    #! r4 window (fetch group k-2 while k-1, k run). Bounded by
+    #! construction: unbounded async enqueue poisons tunneled devices.
+    dispatch_groups: int = int(os.environ.get(
+        "COBS_TPU_DISPATCH_GROUPS", "2"))
     #! threshold-compacted top-k fetch: device top-k programs emit a
     #! packed [B, 8] prefix of the sorted candidate rows alongside the
     #! full [B, k] arrays; when every query's hits >= its score floor
