@@ -57,12 +57,13 @@ class Settings:
     mega_batches: int = int(os.environ.get("COBS_TPU_MEGA_BATCHES",
                                            "16"))
     #! batches the hashing worker prepares AHEAD of the serving loop's
-    #! dispatcher (search_stream). 1 = hash exactly one batch ahead
-    #! (the pre-r5 behavior); deeper values let the single hash worker
-    #! run through the main thread's pack+dispatch+fetch+rank phases
-    #! so a whole mega group is hashed by the time the dispatcher
-    #! wants it. Cost: one raw query batch (~1 MB at B=1024) per slot.
-    hash_ahead: int = int(os.environ.get("COBS_TPU_HASH_AHEAD", "1"))
+    #! dispatcher (search_stream). 1 = hash exactly one batch ahead:
+    #! the submit-after-result handoff then serializes the worker with
+    #! the main thread's consume step, measured -35% serving on the
+    #! real chip (21.1k vs 28.8k q/s at B=1024 mega=16; every depth
+    #! >= 2 sits on the same ~28-29k plateau, BASELINE r5). Cost: one
+    #! raw query batch (~1 MB at B=1024) per slot.
+    hash_ahead: int = int(os.environ.get("COBS_TPU_HASH_AHEAD", "4"))
     #! mega-dispatch groups kept in flight (dispatched-ahead) by
     #! search_stream before it blocks fetching the oldest. 2 = the
     #! r4 window (fetch group k-2 while k-1, k run). Bounded by

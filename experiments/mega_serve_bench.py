@@ -45,10 +45,12 @@ def main():
                          "query mode is -t 0.8 -l 100)")
     ap.add_argument("--configs",
                     default="2048:1,2048:8,2048:16,1024:16,1024:1",
-                    help="comma list of B:mega[:tier] (tier 1 = "
-                         "threshold-compacted top-k fetch, the "
-                         "default; 0 = full [B, k] fetch) — put both "
-                         "tier variants in one list for a drift-proof "
+                    help="comma list of B:mega[:tier[:ahead[:groups]]] "
+                         "(tier 1 = threshold-compacted top-k fetch, "
+                         "the default; 0 = full [B, k] fetch; ahead = "
+                         "hash-ahead batches, default 1; groups = "
+                         "dispatched-ahead mega groups, default 2) — "
+                         "put variants in one list for a drift-proof "
                          "interleaved A/B")
     args = ap.parse_args()
 
@@ -58,16 +60,18 @@ def main():
     configs = []
     for c in args.configs.split(","):
         parts = [int(x) for x in c.split(":")]
-        configs.append((parts[0], parts[1],
-                        parts[2] if len(parts) > 2 else 1))
+        parts += [1, 1, 2][len(parts) - 2:]
+        configs.append(tuple(parts[:5]))
     queries = random_queries(args.queries, args.num_kmers)
     print(f"index={args.index} queries={len(queries)} "
           f"T={args.num_kmers} limit={args.limit}", flush=True)
     s = Search(args.index)
 
-    def rep(B, mega, tier, qs):
+    def rep(B, mega, tier, ahead, groups, qs):
         settings.mega_batches = mega
         settings.tier_fetch = bool(tier)
+        settings.hash_ahead = ahead
+        settings.dispatch_groups = groups
         t0 = time.perf_counter()
         n = 0
         for _res in s.search_stream(qs, args.threshold, args.limit,
@@ -77,24 +81,23 @@ def main():
         return n / dt, dt
 
     # warmup: compile every (B, K-ladder) variant outside the clock
-    for B, mega, tier in configs:
-        qps, dt = rep(B, mega, tier, queries[:B * max(1, mega)])
-        print(f"warmup B={B} mega={mega} tier={tier}: {qps:.0f} q/s "
-              f"({dt:.1f}s)", flush=True)
+    for cfg in configs:
+        qps, dt = rep(*cfg, queries[:cfg[0] * max(1, cfg[1])])
+        print(f"warmup {cfg}: {qps:.0f} q/s ({dt:.1f}s)", flush=True)
 
     best = {}
     for rnd in range(1, args.rounds + 1):
-        for B, mega, tier in configs:
-            qps, dt = rep(B, mega, tier, queries)
-            tag = (B, mega, tier)
-            best[tag] = max(best.get(tag, 0.0), qps)
-            print(f"round {rnd} B={B} mega={mega} tier={tier}: "
-                  f"{qps:.0f} q/s ({dt:.1f}s)", flush=True)
+        for cfg in configs:
+            qps, dt = rep(*cfg, queries)
+            best[cfg] = max(best.get(cfg, 0.0), qps)
+            print(f"round {rnd} {cfg}: {qps:.0f} q/s ({dt:.1f}s)",
+                  flush=True)
 
     from cobs_tpu.query.engine import _tier_counters
     print(f"tier counters: {_tier_counters}", flush=True)
-    for (B, mega, tier), qps in sorted(best.items()):
+    for (B, mega, tier, ahead, groups), qps in sorted(best.items()):
         print(f"RESULT name=mega_serve B={B} mega={mega} tier={tier} "
+              f"ahead={ahead} groups={groups} "
               f"threshold={args.threshold} limit={args.limit} "
               f"queries_per_s={qps:.1f}")
 
