@@ -963,10 +963,20 @@ class QueryBytes:
     matrices: plain DeviceIndex backends and mesh-sharded search
     (settings.device_hash)."""
 
-    __slots__ = ("queries",)
+    __slots__ = ("queries", "packed", "lens", "t_max", "packed_len")
 
     def __init__(self, queries: list[bytes]):
         self.queries = queries
+        #: optional host-side prepack (prepack_query_bytes): the
+        #: padded+2-bit-packed [B_pad, *] u8 array, its i32 lengths,
+        #: term bucket, and pre-pack row length. Filled by Search's
+        #: hashing stage so the pack runs on the overlapped worker
+        #: thread instead of inside the dispatch (io) phase; consumers
+        #: that pack differently (mesh shards) simply ignore it.
+        self.packed = None
+        self.lens = None
+        self.t_max = None
+        self.packed_len = None
 
     def __len__(self):
         return len(self.queries)
@@ -1042,17 +1052,29 @@ def _hash_gather_count_topk(matrix, qdata, qlens, valid_mask,
             tier)
 
 
+def prepack_query_bytes(index: DeviceIndex, qb: QueryBytes) -> None:
+    """Run the host half of the query upload (pad to the jit bucket +
+    optional 2-bit pack) ahead of dispatch, storing the result on the
+    QueryBytes payload. Search's hashing stage calls this so the pack
+    happens on the worker thread that search_stream overlaps with the
+    device — the dispatch-side pack paths reuse it when present."""
+    qbytes, lens, T_max = _pack_query_bytes(qb.queries,
+                                            index.term_size)
+    qbytes, packed_len = _maybe_pack_2bit(index, qbytes)
+    qb.packed, qb.lens = qbytes, lens
+    qb.t_max, qb.packed_len = T_max, packed_len
+
+
 def _device_hash_args(index: DeviceIndex, qb: QueryBytes):
     if index.matrix.shape[0] > np.iinfo(np.int32).max:
         # same guard as the host path's row_indices — device hashing
         # must not silently truncate row ids
         raise ValueError("index too large for int32 row addressing")
-    qbytes, lens, T_max = _pack_query_bytes(qb.queries,
-                                            index.term_size)
-    qbytes, packed_len = _maybe_pack_2bit(index, qbytes)
-    return (jnp.asarray(qbytes), jnp.asarray(lens), T_max,
+    if qb.packed is None:
+        prepack_query_bytes(index, qb)
+    return (jnp.asarray(qb.packed), jnp.asarray(qb.lens), qb.t_max,
             tuple(int(s) for s in index.sig_sizes),
-            tuple(int(o) for o in index.row_offsets), packed_len)
+            tuple(int(o) for o in index.row_offsets), qb.packed_len)
 
 
 def _maybe_pack_2bit(index: DeviceIndex, qbytes: np.ndarray):
@@ -1903,6 +1925,21 @@ def _multi_query_args(index: DeviceIndex, payloads: list):
     (qdata [K, B, *], qlens [K, B], T_max, sigs, offs, packed_len)."""
     if index.matrix.shape[0] > np.iinfo(np.int32).max:
         raise ValueError("index too large for int32 row addressing")
+    sigs = tuple(int(s) for s in index.sig_sizes)
+    offs = tuple(int(o) for o in index.row_offsets)
+    # prepacked fast path: when every payload was packed ahead (worker
+    # thread, prepack_query_bytes) to the SAME shapes — the serving
+    # common case of uniform-length batches — the group is one stack
+    # instead of a refill+repack on the dispatch critical path
+    shapes = {(p.packed.shape, p.t_max, p.packed_len)
+              for p in payloads if p.packed is not None}
+    if len(shapes) == 1 and all(p.packed is not None
+                                for p in payloads):
+        qb = np.stack([p.packed for p in payloads])
+        lens = np.stack([p.lens for p in payloads])
+        return (jnp.asarray(qb), jnp.asarray(lens),
+                payloads[0].t_max, sigs, offs,
+                payloads[0].packed_len)
     k = index.term_size
     B_pad = _bucket(max(len(p) for p in payloads))
     T_max = _bucket(max(len(q) for p in payloads for q in p.queries)
@@ -1914,9 +1951,8 @@ def _multi_query_args(index: DeviceIndex, payloads: list):
     for g, p in enumerate(payloads):
         _fill_query_rows(qb[g], lens[g], p.queries)
     qb, packed_len = _maybe_pack_2bit(index, qb)
-    return (jnp.asarray(qb), jnp.asarray(lens), T_max,
-            tuple(int(s) for s in index.sig_sizes),
-            tuple(int(o) for o in index.row_offsets), packed_len)
+    return (jnp.asarray(qb), jnp.asarray(lens), T_max, sigs, offs,
+            packed_len)
 
 
 def _multi_rows_idx(index: DeviceIndex, payloads: list):

@@ -23,6 +23,7 @@ from cobs_tpu.query.engine import (
     QueryBytes,
     StreamedIndex,
     create_hashes,
+    prepack_query_bytes,
     score_batch,
     score_batch_async,
     score_topk,
@@ -253,6 +254,16 @@ class Search:
             return True
         return isinstance(ix, DeviceIndex)
 
+    def _prepack(self, ix, qb: QueryBytes) -> None:
+        """Prepack the device-hash upload on the hashing thread (the
+        one search_stream overlaps with the device) so dispatch only
+        stacks+uploads. Mesh shards pack differently and skip it;
+        COBS_TPU_PREPACK=0 is the A/B knob."""
+        import os
+        if self._sharded is None and os.environ.get(
+                "COBS_TPU_PREPACK", "1") != "0":
+            prepack_query_bytes(ix, qb)
+
     def _hash_batch(self, qbytes, timer=None) -> list:
         """Host stage: per-index hash tensors for a query batch —
         or a QueryBytes payload for device-hash-eligible indexes
@@ -274,7 +285,9 @@ class Search:
         for ix in self.index_files:
             if self._use_device_hash(ix, qbytes):
                 validate_queries(qbytes, ix.term_size, ix.canonicalize)
-                hashed.append(QueryBytes(qbytes))
+                qb = QueryBytes(qbytes)
+                self._prepack(ix, qb)
+                hashed.append(qb)
             else:
                 hashed.append(create_hashes(
                     qbytes, ix.term_size, ix.num_hashes,
@@ -313,7 +326,9 @@ class Search:
                                                           L0)
                     if not invalid_query_mask(arr,
                                               ix.canonicalize).any():
-                        hashed.append(QueryBytes(list(qbytes)))
+                        qb = QueryBytes(list(qbytes))
+                        self._prepack(ix, qb)
+                        hashed.append(qb)
                         continue
                 # same per-query leniency: a bad query's slot carries a
                 # valid 1-term dummy (scores discarded by the caller)
@@ -333,7 +348,9 @@ class Search:
                                 errors[b] = str(e)
                     cleaned.append(q if errors[b] is None
                                    else b"A" * ix.term_size)
-                hashed.append(QueryBytes(cleaned))
+                qb = QueryBytes(cleaned)
+                self._prepack(ix, qb)
+                hashed.append(qb)
                 continue
             dummy = np.zeros((1, ix.num_hashes), dtype=np.uint64)
             per_q = []

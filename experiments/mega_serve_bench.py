@@ -45,13 +45,15 @@ def main():
                          "query mode is -t 0.8 -l 100)")
     ap.add_argument("--configs",
                     default="2048:1,2048:8,2048:16,1024:16,1024:1",
-                    help="comma list of B:mega[:tier[:ahead[:groups]]] "
+                    help="comma list of "
+                         "B:mega[:tier[:ahead[:groups[:prepack]]]] "
                          "(tier 1 = threshold-compacted top-k fetch, "
                          "the default; 0 = full [B, k] fetch; ahead = "
-                         "hash-ahead batches, default 1; groups = "
-                         "dispatched-ahead mega groups, default 2) — "
-                         "put variants in one list for a drift-proof "
-                         "interleaved A/B")
+                         "hash-ahead batches, default 4; groups = "
+                         "dispatched-ahead mega groups, default 2; "
+                         "prepack 1 = worker-side query pack, the "
+                         "default) — put variants in one list for a "
+                         "drift-proof interleaved A/B")
     args = ap.parse_args()
 
     from cobs_tpu.query.search import Search
@@ -60,18 +62,20 @@ def main():
     configs = []
     for c in args.configs.split(","):
         parts = [int(x) for x in c.split(":")]
-        parts += [1, 1, 2][len(parts) - 2:]
-        configs.append(tuple(parts[:5]))
+        parts += [1, 4, 2, 1][len(parts) - 2:]
+        configs.append(tuple(parts[:6]))
     queries = random_queries(args.queries, args.num_kmers)
     print(f"index={args.index} queries={len(queries)} "
           f"T={args.num_kmers} limit={args.limit}", flush=True)
     s = Search(args.index)
 
-    def rep(B, mega, tier, ahead, groups, qs):
+    def rep(B, mega, tier, ahead, groups, prepack, qs):
+        import os
         settings.mega_batches = mega
         settings.tier_fetch = bool(tier)
         settings.hash_ahead = ahead
         settings.dispatch_groups = groups
+        os.environ["COBS_TPU_PREPACK"] = "1" if prepack else "0"
         t0 = time.perf_counter()
         n = 0
         for _res in s.search_stream(qs, args.threshold, args.limit,
@@ -95,9 +99,10 @@ def main():
 
     from cobs_tpu.query.engine import _tier_counters
     print(f"tier counters: {_tier_counters}", flush=True)
-    for (B, mega, tier, ahead, groups), qps in sorted(best.items()):
+    for (B, mega, tier, ahead, groups, prepack), qps in sorted(
+            best.items()):
         print(f"RESULT name=mega_serve B={B} mega={mega} tier={tier} "
-              f"ahead={ahead} groups={groups} "
+              f"ahead={ahead} groups={groups} prepack={prepack} "
               f"threshold={args.threshold} limit={args.limit} "
               f"queries_per_s={qps:.1f}")
 
