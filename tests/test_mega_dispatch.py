@@ -170,6 +170,34 @@ def test_search_stream_mega_matches_batch(classic_index, monkeypatch,
             [(r.doc_name, r.score) for r in w]
 
 
+@pytest.mark.parametrize("num_results", [0, 3])
+def test_prepack_on_off_identical(classic_index, monkeypatch,
+                                  num_results):
+    """Worker-side query prepack (engine.prepack_query_bytes) must be
+    invisible: identical results with COBS_TPU_PREPACK on and off,
+    including a mega group whose batches pad to DIFFERENT term buckets
+    (batch 1 all 50 bp, batch 2 all 120 bp) — that group must take the
+    dispatch-side repack fallback in engine._multi_query_args because
+    the prepacked shapes differ across the group."""
+    monkeypatch.setattr(settings, "mega_batches", 2)
+    s = Search(str(classic_index))
+    queries = [GOLDEN_QUERY] * 3 + [
+        random_sequence(120, seed) for seed in (17, 18, 19)]
+
+    def run():
+        return [
+            [(r.doc_name, r.score) for r in rl]
+            for rl in s.search_stream(iter(queries), 0.0, num_results,
+                                      batch_size=3)]
+
+    monkeypatch.setenv("COBS_TPU_PREPACK", "1")
+    on = run()
+    monkeypatch.setenv("COBS_TPU_PREPACK", "0")
+    off = run()
+    assert on == off
+    assert len(on) == len(queries) and all(on)
+
+
 def test_fullrank_mega_capped_by_hbm_budget(classic_index,
                                              monkeypatch):
     """Full-rank mega groups hold [K, B, slots] u16 buffers in HBM
