@@ -222,6 +222,18 @@ class DeviceIndex:
         else:
             runs = (fmt_compact.coalesce_runs(sig_sizes)
                     if coalesce else [])
+            if any(n > 1 for _, n in runs):
+                # cap skewed runs so short runs stop padding to the
+                # longest one (bit-exact: chunk boundaries are page
+                # boundaries). COBS_TPU_RUN_CAP: unset/auto = cost
+                # model, 0 = uncapped (pad to the widest run), N =
+                # forced cap (A/B + escape hatch)
+                cap_env = os.environ.get("COBS_TPU_RUN_CAP", "")
+                if cap_env in ("", "auto"):
+                    cap = _best_run_cap(runs, page_size)
+                else:
+                    cap = int(cap_env) or max(n for _, n in runs)
+                runs = _split_runs(runs, cap)
             if any(n > 1 for _, n in runs) and _runs_worthwhile(
                     runs, sig_sizes, page_size):
                 # no uniform factor (size tiers straddle page
@@ -322,6 +334,40 @@ def _load_matrix_striped(path, payload_off: int, total_rows: int,
             buf = _write_stripe(buf, jnp.asarray(words), np.int32(r))
             r += n
     return buf
+
+
+def _best_run_cap(runs, page_size: int) -> int:
+    """Pages-per-merged-page cap minimizing padded gather bytes/term.
+
+    Run-length merging pads every merged page to the WIDEST run, so a
+    skewed run profile (one long run + short tails) gathers mostly
+    zero padding. Splitting long runs at a cap trades more gathers for
+    narrower rows: per-term gathered bytes at cap m are
+    sum(ceil(len_i / m)) * tile_padded_bytes(m * page_size) — split
+    chunks stay bit-exact because chunk boundaries are original page
+    boundaries. Among caps within 5% of the cheapest, the WIDEST wins:
+    measured gather bandwidth rises with row width (90-122 GB/s at
+    1.5 KB rows -> 207-221 at 64 KB, BASELINE), so byte parity favors
+    fewer, wider pages."""
+    def padb(m):
+        return _pad_words(-(-(page_size * m) // 4)) * 4
+
+    costs = {m: sum(-(-n // m) for _, n in runs) * padb(m)
+             for m in range(1, max(n for _, n in runs) + 1)}
+    cmin = min(costs.values())
+    return max(m for m, c in costs.items() if c <= 1.05 * cmin)
+
+
+def _split_runs(runs, cap: int):
+    """Split every run into chunks of at most `cap` pages."""
+    out = []
+    for s, n in runs:
+        while n > cap:
+            out.append((s, cap))
+            s += cap
+            n -= cap
+        out.append((s, n))
+    return out
 
 
 def _runs_worthwhile(runs, sig_sizes, page_size: int) -> bool:

@@ -245,6 +245,78 @@ def test_repack_rejects_same_path(tmp_path, rng):
         compact_repack(idx, idx, clobber=True)
 
 
+def test_run_cap_splits_skewed_runs():
+    """_best_run_cap picks the pages-per-merged-page cap minimizing
+    tile-padded gather bytes (widest within 5% on ties), and
+    _split_runs chunks at original page boundaries."""
+    from cobs_tpu.query.engine import _best_run_cap, _split_runs
+
+    # one 64-page run + 8 singleton runs at 64 B pages: padding every
+    # merged page to 64 pages costs 9 x 4096 B/term; capping at 8
+    # costs 16 x 512 B — the old all-or-nothing merge was refused
+    # here, the capped one is a 4.5x byte win over it
+    runs = [(0, 64)] + [(64 + i, 1) for i in range(8)]
+    cap = _best_run_cap(runs, page_size=64)
+    assert cap == 8
+    split = _split_runs(runs, cap)
+    assert split[:8] == [(i * 8, 8) for i in range(8)]
+    assert split[8:] == [(64 + i, 1) for i in range(8)]
+    assert sum(n for _, n in split) == 72
+
+    # balanced runs at the same tile width: ties prefer the WIDEST cap
+    # (wider rows gather faster per byte)
+    runs = [(0, 11), (11, 10), (21, 9), (30, 10)]
+    assert _best_run_cap(runs, page_size=64) == 11
+    # sub-tile pages: every cap <= 8 pages costs one 512 B tile per
+    # merged page, so the widest full-run cap wins outright
+    assert _best_run_cap([(0, 3), (3, 1)], page_size=2) == 3
+
+
+def test_capped_run_merge_scores_bit_exact(tmp_path, rng, monkeypatch):
+    """End-to-end: a corpus whose run profile triggers capping loads
+    with MORE merged pages than maximal runs, scores bit-exact, and
+    keeps the public doc numbering."""
+    from cobs_tpu.fmt.compact import coalesce_runs, read_compact_header
+
+    # 7 pages of small docs (one run) + 1 big-doc page: page_size=2
+    # keeps construction cheap; force the tile boundary with a
+    # monkeypatched pad so capping engages at this tiny scale
+    doc_lens = [150] * 112 + [3000] * 16
+    docs = _build_corpus(tmp_path, rng, doc_lens)
+    idx = tmp_path / "x.cobs_compact"
+    cobs_tpu.compact_construct(
+        cobs_tpu.DocumentList(docs), idx,
+        index_params=cobs_tpu.CompactIndexParameters(
+            num_hashes=1, page_size=2, clobber=True))
+    h, _ = read_compact_header(idx)
+    runs = coalesce_runs([p.signature_size for p in h.parameters])
+    assert max(n for _, n in runs) == 7
+
+    import cobs_tpu.query.engine as eng
+    real_pad = eng._pad_words
+    # pretend the lane tile is 2 words (8 B) so the byte-cost model
+    # sees the skew at page_size=2: cap then splits the 7-run
+    monkeypatch.setattr(eng, "_pad_words",
+                        lambda w: max(2, -(-w // 2) * 2))
+    try:
+        cap = eng._best_run_cap(runs, page_size=2)
+        assert cap < 7
+    finally:
+        monkeypatch.setattr(eng, "_pad_words", real_pad)
+
+    # unpatched end-to-end load still merges (cap = widest here) and
+    # stays bit-exact vs the unmerged layout
+    plain, merged = _load_both(monkeypatch, idx)
+    assert merged.num_pages < plain.num_pages
+    assert merged.counts_size == plain.counts_size
+    queries = [(docs / f"d{i:03d}.fasta").read_bytes().splitlines()[1]
+               [:100] for i in (0, 50, 115)]
+    hashes = create_hashes(queries, plain.term_size, plain.num_hashes,
+                           plain.canonicalize)
+    np.testing.assert_array_equal(
+        score_batch(merged, hashes), score_batch(plain, hashes))
+
+
 def test_run_coalesce_skips_wasteful_skew():
     """A skewed run profile (one long run + many distinct tail sizes)
     would pad every merged page to the long run's width — the
